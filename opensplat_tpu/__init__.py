@@ -1,0 +1,19 @@
+"""opensplat_tpu — a TPU-native 3D Gaussian Splatting framework in JAX.
+
+A from-scratch re-design of the capabilities of pierotofy/OpenSplat
+(C++/libtorch/CUDA) for TPU hardware: the gsplat-style differentiable
+rasterization pipeline is implemented with XLA-friendly static shapes and
+Pallas kernels, the training loop runs fully under `jax.jit`, and scaling
+goes through `jax.sharding` meshes rather than a single device.
+
+Layer map (mirrors SURVEY.md §1 of the reference, re-architected):
+
+  L5  CLI / apps ........ opensplat_tpu.cli, opensplat_tpu.simple_trainer
+  L4  Model & training .. opensplat_tpu.models, opensplat_tpu.optim,
+                          opensplat_tpu.train
+  L3  Differentiable ops  opensplat_tpu.ops (project/sh/rasterize custom_vjp)
+  L2  Kernels ........... opensplat_tpu.ops.pallas (TPU), pure-jnp reference
+  L1  Data & geometry ... opensplat_tpu.data, opensplat_tpu.io
+"""
+
+__version__ = "0.1.0"

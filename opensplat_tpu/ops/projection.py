@@ -1,0 +1,182 @@
+"""EWA 3D->2D Gaussian projection, vectorized pure jnp.
+
+One fused map over the (fixed-capacity) Gaussian axis: near-plane cull,
+quat->R->cov3d, EWA cov3d->cov2d with FOV clamping and the +0.3 pixel blur,
+conic + 3-sigma radius via 2x2 eigenvalues, NDC->pixel center, and the
+per-Gaussian tile bounding box. Gradients come from jax autodiff (the
+reference's hand-written projection VJPs in backward.cu:357-542 compute the
+same chain rule).
+
+Semantics are anchored to the reference kernels:
+  - GPU path: forward.cu:19-103 + helpers.cuh (near cull, det==0 reject,
+    pixel center 0.5*W*x + cx - 0.5, rw = 1/(w + 1e-6))
+  - CPU path: gsplat-cpu/gsplat_cpu.cpp:48-131 (no near cull,
+    det clamped to 1e-6, principal point fixed at image center,
+    rw = 1/max(w, 1e-6))
+
+The CPU flavor exists for conformance testing against the NumPy oracle;
+the GPU flavor is what training uses (it matches the reference's CUDA
+training path). Dead capacity slots are masked out via `valid_mask`.
+
+TPU notes: everything here is elementwise/small-matmul over N and fuses
+into a handful of VPU loops under XLA; there is no benefit to a custom
+Pallas kernel for this stage (the rasterizer dominates).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .tensor_math import quat_to_rotmat
+
+BLOCK_X = 16  # tile geometry, shared with the rasterizer (config.h:1-4)
+BLOCK_Y = 16
+
+
+class ProjectedGaussians(NamedTuple):
+    xys: jax.Array  # (N, 2) pixel-space centers
+    depths: jax.Array  # (N,) camera-space z (GPU-path sort key)
+    cam_depths: jax.Array  # (N,) NDC z (CPU-path sort key)
+    radii: jax.Array  # (N,) int32, 0 for culled
+    conics: jax.Array  # (N, 3) upper-tri inverse cov2d
+    cov2d: jax.Array  # (N, 3) upper-tri cov2d (for CPU-oracle bboxes)
+    num_tiles_hit: jax.Array  # (N,) int32 tile-bbox area
+    tile_min: jax.Array  # (N, 2) int32 inclusive tile bbox min (x, y)
+    tile_max: jax.Array  # (N, 2) int32 exclusive tile bbox max (x, y)
+    mask: jax.Array  # (N,) bool visibility
+
+
+def project_gaussians(
+    means: jax.Array,
+    scales: jax.Array,
+    glob_scale: float,
+    quats: jax.Array,
+    viewmat: jax.Array,
+    projmat: jax.Array,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    img_height: int,
+    img_width: int,
+    clip_thresh: float = 0.01,
+    mode: str = "gpu",
+    valid_mask: Optional[jax.Array] = None,
+) -> ProjectedGaussians:
+    """Project N 3D Gaussians to 2D screen space.
+
+    means: (N, 3); scales: (N, 3) (already exponentiated); quats: (N, 4) wxyz
+    viewmat: (4, 4) world->camera; projmat: (4, 4) full projection
+    (perspective @ viewmat, row-major application p' = projmat @ [p, 1]).
+    """
+    if mode not in ("gpu", "cpu"):
+        raise ValueError(f"unknown projection mode {mode!r}")
+    f32 = jnp.float32
+    means = means.astype(f32)
+    n = means.shape[0]
+
+    R_vm = viewmat[:3, :3]
+    t_vm = viewmat[:3, 3]
+    p_view = means @ R_vm.T + t_vm  # (N, 3) camera-space
+    z = p_view[:, 2]
+
+    # --- cov3d = M M^T with M = R * glob_scale * diag(scales)
+    R = quat_to_rotmat(quats)  # (N, 3, 3)
+    M = R * (glob_scale * scales)[:, None, :]
+    cov3d = M @ jnp.swapaxes(M, -1, -2)  # (N, 3, 3)
+
+    # --- EWA: cov2d = J W cov3d W^T J^T with FOV-limited tangent point
+    tan_fovx = 0.5 * img_width / fx
+    tan_fovy = 0.5 * img_height / fy
+    lim_x = 1.3 * tan_fovx
+    lim_y = 1.3 * tan_fovy
+    # guard z==0 for dead/behind slots; they are masked out downstream
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    tx = z * jnp.clip(p_view[:, 0] / z_safe, -lim_x, lim_x)
+    ty = z * jnp.clip(p_view[:, 1] / z_safe, -lim_y, lim_y)
+    rz = 1.0 / z_safe
+    rz2 = rz * rz
+    zero = jnp.zeros_like(rz)
+    # J rows stacked: (N, 2, 3)
+    J = jnp.stack(
+        [
+            jnp.stack([fx * rz, zero, -fx * tx * rz2], axis=-1),
+            jnp.stack([zero, fy * rz, -fy * ty * rz2], axis=-1),
+        ],
+        axis=-2,
+    )
+    T = J @ R_vm  # (N, 2, 3)
+    cov2d_m = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
+    a = cov2d_m[:, 0, 0] + 0.3
+    b_off = cov2d_m[:, 0, 1]
+    c = cov2d_m[:, 1, 1] + 0.3
+
+    det = a * c - b_off * b_off
+    if mode == "cpu":
+        det_ok = jnp.ones((n,), bool)
+        det = jnp.maximum(det, 1e-6)
+    else:
+        det_ok = det != 0.0
+        det = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / det
+    conics = jnp.stack([c * inv_det, -b_off * inv_det, a * inv_det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    sq = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    v_max = mid + sq  # >= mid - sq always
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(v_max))
+
+    # --- pixel-space center via full projection matrix
+    p_hom = means @ projmat[:, :3].T + projmat[:, 3]  # (N, 4)
+    w_hom = p_hom[:, 3]
+    if mode == "cpu":
+        rw = 1.0 / jnp.maximum(w_hom, 1e-6)
+    else:
+        rw = 1.0 / (w_hom + 1e-6)
+    p_proj = p_hom[:, :3] * rw[:, None]
+    if mode == "cpu":
+        # principal point pinned to image center (gsplat_cpu.cpp:123-124)
+        u = 0.5 * ((p_proj[:, 0] + 1.0) * img_width - 1.0)
+        v = 0.5 * ((p_proj[:, 1] + 1.0) * img_height - 1.0)
+    else:
+        u = 0.5 * img_width * p_proj[:, 0] + cx - 0.5
+        v = 0.5 * img_height * p_proj[:, 1] + cy - 0.5
+    xys = jnp.stack([u, v], axis=-1)
+
+    # --- tile bbox (GPU path; helpers.cuh get_tile_bbox/get_bbox)
+    tb_x = (img_width + BLOCK_X - 1) // BLOCK_X
+    tb_y = (img_height + BLOCK_Y - 1) // BLOCK_Y
+    tcx = u / BLOCK_X
+    tcy = v / BLOCK_Y
+    trx = radius_f / BLOCK_X
+    try_ = radius_f / BLOCK_Y
+    # (int) cast truncates; negative values clamp to 0 either way
+    tmin_x = jnp.clip((tcx - trx).astype(jnp.int32), 0, tb_x)
+    tmax_x = jnp.clip((tcx + trx + 1.0).astype(jnp.int32), 0, tb_x)
+    tmin_y = jnp.clip((tcy - try_).astype(jnp.int32), 0, tb_y)
+    tmax_y = jnp.clip((tcy + try_ + 1.0).astype(jnp.int32), 0, tb_y)
+    tile_area = (tmax_x - tmin_x) * (tmax_y - tmin_y)
+
+    mask = jnp.ones((n,), bool)
+    if mode == "gpu":
+        mask = mask & (z > clip_thresh) & det_ok & (tile_area > 0)
+    if valid_mask is not None:
+        mask = mask & valid_mask
+
+    radii = jnp.where(mask, radius_f.astype(jnp.int32), 0)
+    num_tiles_hit = jnp.where(mask, tile_area, 0).astype(jnp.int32)
+
+    return ProjectedGaussians(
+        xys=xys,
+        depths=z,
+        cam_depths=p_proj[:, 2],
+        radii=radii,
+        conics=conics,
+        cov2d=jnp.stack([a, b_off, c], axis=-1),
+        num_tiles_hit=num_tiles_hit,
+        tile_min=jnp.stack([tmin_x, tmin_y], axis=-1),
+        tile_max=jnp.stack([tmax_x, tmax_y], axis=-1),
+        mask=mask,
+    )
