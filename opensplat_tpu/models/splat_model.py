@@ -1,0 +1,122 @@
+"""Scene forward pass: camera -> projection -> SH colors -> rasterize.
+
+Mirrors Model::forward (model.cpp:83-225) with TPU-native changes:
+  * no host sync on radii.sum() == 0 (model.cpp:173) — an empty frame
+    renders the background naturally through the masked rasterizer;
+  * xys.retain_grad() (model.cpp:171) becomes an explicit additive
+    `xys_shift` input whose gradient is d loss / d xys (densify stats);
+  * dead capacity slots are masked out at projection.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.camera import camera_matrices
+from ..ops.projection import project_gaussians
+from ..ops.rasterize import rasterize
+from ..ops.sh import spherical_harmonics
+from .gaussians import GaussianParams
+
+# NerfStudio default background (model.hpp:54)
+DEFAULT_BACKGROUND = (0.6130, 0.0101, 0.3984)
+
+
+class RenderOutputs(NamedTuple):
+    rgb: jax.Array  # (H, W, 3)
+    final_t: jax.Array  # (H, W)
+    radii: jax.Array  # (C,) int32
+    mask: jax.Array  # (C,) bool visible
+    xys: jax.Array  # (C, 2)
+    depths: jax.Array  # (C,)
+
+
+def render_forward(
+    params: GaussianParams,
+    alive: jax.Array,
+    cam_to_world: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    height: int,
+    width: int,
+    sh_degrees_to_use: int,
+    background: jax.Array,
+    xys_shift: Optional[jax.Array] = None,
+    renderer: str = "dense",
+) -> RenderOutputs:
+    viewmat, full_proj, cam_pos = camera_matrices(cam_to_world, fx, fy, width, height)
+
+    proj = project_gaussians(
+        params.means,
+        jnp.exp(params.scales),
+        1.0,
+        params.quats / jnp.linalg.norm(params.quats, axis=-1, keepdims=True),
+        viewmat,
+        full_proj,
+        fx,
+        fy,
+        cx,
+        cy,
+        height,
+        width,
+        mode="gpu",
+        valid_mask=alive,
+    )
+    xys = proj.xys if xys_shift is None else proj.xys + xys_shift
+
+    # SH view directions from detached means (model.cpp:176-177)
+    viewdirs = jax.lax.stop_gradient(params.means) - cam_pos
+    norm = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+    viewdirs = viewdirs / jnp.maximum(norm, 1e-12)
+
+    colors = jnp.concatenate(
+        [params.features_dc[:, None, :], params.features_rest], axis=1
+    )
+    rgbs = spherical_harmonics(sh_degrees_to_use, viewdirs, colors)
+    rgbs = jnp.maximum(rgbs + 0.5, 0.0)  # model.cpp:192
+
+    if renderer == "dense":
+        rgb, final_t = rasterize(
+            xys,
+            proj.conics,
+            rgbs,
+            jax.nn.sigmoid(params.opacities),
+            proj.depths,
+            proj.mask,
+            background,
+            height,
+            width,
+        )
+    elif renderer == "tiled":
+        from ..ops.rasterize_tiled import rasterize_tiled
+
+        rgb, final_t = rasterize_tiled(
+            xys,
+            proj.conics,
+            rgbs,
+            jax.nn.sigmoid(params.opacities),
+            proj.depths,
+            proj.radii,
+            proj.num_tiles_hit,
+            proj.tile_min,
+            proj.tile_max,
+            background,
+            height,
+            width,
+        )
+    else:
+        raise ValueError(f"unknown renderer {renderer!r}")
+
+    rgb = jnp.minimum(rgb, 1.0)  # model.cpp:222
+    return RenderOutputs(
+        rgb=rgb,
+        final_t=final_t,
+        radii=proj.radii,
+        mask=proj.mask,
+        xys=xys,
+        depths=proj.depths,
+    )

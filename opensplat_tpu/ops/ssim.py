@@ -1,0 +1,88 @@
+"""SSIM loss, pure jnp (grouped conv2d on the VPU/MXU via XLA).
+
+Reproduces the reference's SSIM (ssim.cpp:7-46, a port of
+Po-Hsun-Su/pytorch-ssim) *including its asymmetric Gaussian window*:
+the reference builds gauss[i] = exp(-floor((i - ws)/2)^2 / (2 sigma^2))
+(ssim.cpp:43) rather than the usual centered |i - ws//2| — we replicate
+it exactly since PSNR-parity training depends on the identical loss
+surface. C1/C2 and the 11x11 / sigma=1.5 window match ssim.cpp:26-27,35.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _reference_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    i = np.arange(window_size, dtype=np.float64)
+    k = np.floor((i - window_size) / 2.0)
+    g = np.exp(-(k ** 2) / (2.0 * sigma * sigma))
+    g = g / g.sum()
+    w2d = np.outer(g, g)
+    return w2d.astype(np.float32)
+
+
+_WINDOW = _reference_window()
+
+
+def _conv_same(img: jax.Array, window: jax.Array, channels: int = 3) -> jax.Array:
+    """Grouped 'same' conv2d: img (1, C, H, W), window (C, 1, K, K)."""
+    pad = window.shape[-1] // 2
+    return jax.lax.conv_general_dilated(
+        img,
+        window,
+        window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=channels,
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def ssim(rendered: jax.Array, gt: jax.Array) -> jax.Array:
+    """Mean SSIM between two (H, W, 3) images in [0, 1].
+
+    Argument order matches Model::mainLoss usage: ssim.eval(rendered, gt)
+    with img1 = gt, img2 = rendered internally (ssim.cpp:9-10); SSIM is
+    symmetric so the distinction only matters for fp determinism.
+    """
+    window = jnp.asarray(_WINDOW)[None, None].repeat(3, axis=0)  # (3,1,K,K)
+    img1 = gt.transpose(2, 0, 1)[None].astype(jnp.float32)
+    img2 = rendered.transpose(2, 0, 1)[None].astype(jnp.float32)
+
+    mu1 = _conv_same(img1, window)
+    mu2 = _conv_same(img2, window)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _conv_same(img1 * img1, window) - mu1_sq
+    sigma2_sq = _conv_same(img2 * img2, window) - mu2_sq
+    sigma12 = _conv_same(img1 * img2, window) - mu1_mu2
+
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    ssim_map = ((2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    return ssim_map.mean()
+
+
+def l1(rendered: jax.Array, gt: jax.Array) -> jax.Array:
+    """Mean absolute error (model.cpp:54-56)."""
+    return jnp.abs(gt - rendered).mean()
+
+
+def psnr(rendered: jax.Array, gt: jax.Array) -> jax.Array:
+    """Peak signal-to-noise ratio in dB (model.cpp:49-52)."""
+    mse = jnp.mean((rendered - gt) ** 2)
+    return 10.0 * jnp.log10(1.0 / mse)
+
+
+def main_loss(rendered: jax.Array, gt: jax.Array, ssim_weight: float) -> jax.Array:
+    """(1-w) * L1 + w * (1 - SSIM)  (model.cpp:780-784)."""
+    return (1.0 - ssim_weight) * l1(rendered, gt) + ssim_weight * (
+        1.0 - ssim(rendered, gt)
+    )

@@ -1,0 +1,247 @@
+"""Fully-jitted train step + host-side training loop.
+
+Mirrors the reference loop (opensplat.cpp:151-196): zero grads, forward,
+L1+SSIM loss, backward, 6x Adam, means-LR schedule, afterTrain — but the
+whole step is one compiled XLA program; the refine/reset state machine
+runs as separately-compiled programs at host-known steps (every
+refine_every), and capacity growth happens host-side between programs.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import TrainConfig
+from .models.densify import accumulate_stats, count_refine_needs, refine_step
+from .models.gaussians import GaussianParams, TrainState, grow_capacity, round_capacity
+from .models.splat_model import DEFAULT_BACKGROUND, render_forward
+from .ops.ssim import main_loss, psnr
+from .optim.adam import adam_update, means_lr_schedule
+
+
+def get_downscale_factor(step: int, cfg: TrainConfig) -> int:
+    """2^max(num_downscales - step / resolution_schedule, 0) (model.cpp:249-251)."""
+    return 2 ** max(cfg.num_downscales - step // cfg.resolution_schedule, 0)
+
+
+def sh_degrees_for_step(step: int, cfg: TrainConfig) -> int:
+    """min(step / sh_degree_interval, sh_degree) (model.cpp:178)."""
+    return min(step // cfg.sh_degree_interval, cfg.sh_degree)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "sh_deg", "cfg", "accumulate", "renderer"),
+)
+def train_step(
+    state: TrainState,
+    cam_to_world: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    gt_image: jax.Array,
+    means_lr,
+    height: int,
+    width: int,
+    sh_deg: int,
+    cfg: TrainConfig,
+    accumulate: bool,
+    renderer: str = "dense",
+):
+    background = jnp.asarray(DEFAULT_BACKGROUND, jnp.float32)
+    capacity = state.alive.shape[0]
+
+    def loss_fn(params: GaussianParams, xys_shift: jax.Array):
+        out = render_forward(
+            params,
+            state.alive,
+            cam_to_world,
+            fx,
+            fy,
+            cx,
+            cy,
+            height,
+            width,
+            sh_deg,
+            background,
+            xys_shift=xys_shift,
+            renderer=renderer,
+        )
+        loss = main_loss(out.rgb, gt_image, cfg.ssim_weight)
+        return loss, out
+
+    (loss, out), (g_params, g_xys) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(state.params, jnp.zeros((capacity, 2), jnp.float32))
+
+    lrs = GaussianParams(
+        means=means_lr,
+        scales=cfg.lr_scales,
+        quats=cfg.lr_quats,
+        features_dc=cfg.lr_features_dc,
+        features_rest=cfg.lr_features_rest,
+        opacities=cfg.lr_opacities,
+    )
+    new_params, new_opt = adam_update(state.params, g_params, state.opt, lrs, state.alive)
+
+    stats = state.stats
+    if accumulate:  # step < stop_split_at, host-known
+        stats = accumulate_stats(stats, g_xys, out.radii, height, width)
+
+    new_state = state.replace(params=new_params, opt=new_opt, stats=stats)
+    metrics = {
+        "loss": loss,
+        "psnr": psnr(out.rgb, gt_image),
+        "n_visible": jnp.sum(out.mask),
+    }
+    return new_state, metrics
+
+
+class InfiniteRandomSampler:
+    """Reshuffling camera sampler (utils.hpp:14-38 semantics, numpy RNG)."""
+
+    def __init__(self, n: int, seed: int = 42):
+        self._rng = np.random.default_rng(seed)
+        self._n = n
+        self._order = self._rng.permutation(n)
+        self._i = 0
+
+    def next(self) -> int:
+        idx = int(self._order[self._i])
+        self._i += 1
+        if self._i >= self._n:
+            self._order = self._rng.permutation(self._n)
+            self._i = 0
+        return idx
+
+
+@dataclass
+class StepOutcome:
+    loss: float
+    psnr: float
+    n_alive: int
+
+
+class Trainer:
+    """Host-side orchestration: camera sampling, resolution/SH schedules,
+    refine dispatch, capacity growth."""
+
+    def __init__(self, state: TrainState, cameras: List, cfg: TrainConfig,
+                 renderer: str = "dense"):
+        self.state = state
+        self.cameras = cameras
+        self.cfg = cfg
+        self.renderer = renderer
+        self.sampler = InfiniteRandomSampler(len(cameras), seed=cfg.seed)
+        self.last_hw = (0, 0)
+        self.refine_metrics: Optional[dict] = None
+
+    def run_step(self, step: int) -> StepOutcome:
+        cfg = self.cfg
+        cam = self.cameras[self.sampler.next()]
+        factor = get_downscale_factor(step, cfg)
+        gt = cam.get_image(factor)
+        h, w = gt.shape[0], gt.shape[1]
+        self.last_hw = (h, w)
+        sh_deg = sh_degrees_for_step(step, cfg)
+        means_lr = means_lr_schedule(
+            cfg.lr_means, cfg.lr_means_final, cfg.num_iters, step - 1
+        )
+        accumulate = step < cfg.stop_split_at
+
+        self.state, metrics = train_step(
+            self.state,
+            jnp.asarray(cam.cam_to_world, jnp.float32),
+            cam.fx / factor,
+            cam.fy / factor,
+            cam.cx / factor,
+            cam.cy / factor,
+            jnp.asarray(gt, jnp.float32),
+            means_lr,
+            h,
+            w,
+            sh_deg,
+            cfg,
+            accumulate,
+            self.renderer,
+        )
+
+        if step % cfg.refine_every == 0 and step > cfg.warmup_length:
+            self._refine(step)
+
+        return StepOutcome(
+            loss=float(metrics["loss"]),
+            psnr=float(metrics["psnr"]),
+            n_alive=int(jnp.sum(self.state.alive)),
+        )
+
+    def _refine(self, step: int):
+        cfg = self.cfg
+        reset_interval = cfg.reset_alpha_every * cfg.refine_every
+        num_cameras = len(self.cameras)
+        do_densification = (
+            step < cfg.stop_split_at
+            and step % reset_interval > num_cameras + cfg.refine_every
+        )
+        do_reset = step < cfg.stop_split_at and step % reset_interval == cfg.refine_every
+        do_cull_huge = step > cfg.refine_every * cfg.reset_alpha_every
+        use_screen_size = step < cfg.stop_screen_size_at
+        maxwh = float(max(self.last_hw))
+
+        if do_densification:
+            # grow capacity first so no candidate is ever dropped
+            n_alive, n_free, needed = count_refine_needs(
+                self.state, maxwh, cfg, use_screen_size
+            )
+            n_alive, n_free, needed = int(n_alive), int(n_free), int(needed)
+            if needed > n_free:
+                new_cap = round_capacity(
+                    int((n_alive + needed) * 1.25), cfg.capacity_round
+                )
+                self.state = grow_capacity(self.state, new_cap)
+
+        if do_densification or do_reset:
+            self.state, metrics = refine_step(
+                self.state,
+                jnp.asarray(step, jnp.int32),
+                maxwh,
+                cfg,
+                use_screen_size,
+                do_densification,
+                do_cull_huge,
+                do_reset,
+            )
+            self.refine_metrics = {k: int(v) for k, v in metrics.items()}
+        else:
+            # stats are still cleared on every refine boundary (model.cpp:482)
+            from .models.gaussians import zero_stats
+
+            self.state = self.state.replace(stats=zero_stats(self.state.alive.shape[0]))
+
+    def render(self, cam, step: int):
+        cfg = self.cfg
+        factor = get_downscale_factor(step, cfg)
+        h = int(cam.height / factor)
+        w = int(cam.width / factor)
+        out = render_forward(
+            self.state.params,
+            self.state.alive,
+            jnp.asarray(cam.cam_to_world, jnp.float32),
+            cam.fx / factor,
+            cam.fy / factor,
+            cam.cx / factor,
+            cam.cy / factor,
+            h,
+            w,
+            sh_degrees_for_step(step, cfg),
+            jnp.asarray(DEFAULT_BACKGROUND, jnp.float32),
+            renderer=self.renderer,
+        )
+        return out.rgb

@@ -1,0 +1,127 @@
+"""End-to-end training on a synthetic scene (the reference's simple_trainer
+analogue, simple_trainer.cpp:24-212): targets are renders of a ground-truth
+Gaussian set; training from jittered init must converge, and the full
+densify/cull/reset machinery must run under jit without recompilation
+churn or NaNs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from opensplat_tpu.config import TrainConfig
+from opensplat_tpu.data.dataset import Camera
+from opensplat_tpu.models.gaussians import init_model
+from opensplat_tpu.models.splat_model import render_forward, DEFAULT_BACKGROUND
+from opensplat_tpu.train import Trainer, sh_degrees_for_step, get_downscale_factor
+
+
+def _look_at(eye, target, up=(0, 1, 0)):
+    eye = np.asarray(eye, np.float64)
+    forward = np.asarray(target, np.float64) - eye
+    forward /= np.linalg.norm(forward)
+    right = np.cross(forward, np.asarray(up, np.float64))
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, forward)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = -forward  # OpenGL: camera looks down -z
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def _make_cameras(n_cams=4, radius=8.0, H=64, W=64, f=70.0):
+    cams = []
+    for i in range(n_cams):
+        a = 2 * np.pi * i / n_cams
+        eye = (radius * np.sin(a), 0.5, radius * np.cos(a))
+        cams.append(
+            Camera(
+                width=W, height=H, fx=f, fy=f, cx=W / 2, cy=H / 2,
+                cam_to_world=_look_at(eye, (0, 0, 0)), file_path=f"cam{i}.png",
+            )
+        )
+    return cams
+
+
+def _ground_truth_state(n=48, seed=5, capacity=64):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32)
+    rgb = rng.integers(30, 225, (n, 3)).astype(np.uint8)
+    state = init_model(pts, rgb, sh_degree=1, capacity=capacity, seed=7)
+    # make ground truth blobs chunky and opaque
+    params = state.params
+    params = params.replace(
+        scales=jnp.where(state.alive[:, None], jnp.log(0.25), params.scales),
+        opacities=jnp.where(state.alive[:, None], 2.0, params.opacities),
+    )
+    return state.replace(params=params)
+
+
+def _render_targets(state, cams, sh_deg=1):
+    imgs = []
+    for cam in cams:
+        out = render_forward(
+            state.params, state.alive,
+            jnp.asarray(cam.cam_to_world), cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.height, cam.width, sh_deg,
+            jnp.asarray(DEFAULT_BACKGROUND, jnp.float32),
+        )
+        imgs.append(np.asarray(out.rgb))
+    return imgs
+
+
+def test_training_converges_with_refine():
+    cams = _make_cameras()
+    gt_state = _ground_truth_state()
+    targets = _render_targets(gt_state, cams)
+    for cam, img in zip(cams, targets):
+        cam.set_image(img)
+
+    # init from jittered ground-truth points
+    rng = np.random.default_rng(0)
+    pts = np.asarray(gt_state.params.means)[np.asarray(gt_state.alive)]
+    pts = pts + rng.normal(0, 0.08, pts.shape).astype(np.float32)
+    rgb = rng.integers(0, 255, (pts.shape[0], 3)).astype(np.uint8)
+
+    cfg = TrainConfig(
+        num_iters=240,
+        sh_degree=1,
+        sh_degree_interval=40,
+        refine_every=25,
+        warmup_length=30,
+        reset_alpha_every=3,
+        num_downscales=1,
+        resolution_schedule=60,
+        capacity_round=128,
+    )
+    state = init_model(pts, rgb, sh_degree=1, capacity=256, capacity_round=128, seed=3)
+    trainer = Trainer(state, cams, cfg)
+
+    losses = []
+    for step in range(1, 121):
+        out = trainer.run_step(step)
+        losses.append(out.loss)
+        assert np.isfinite(out.loss), f"non-finite loss at step {step}"
+
+    start = np.mean(losses[:5])
+    end = np.mean(losses[-5:])
+    assert end < 0.6 * start, f"did not converge: {start} -> {end}"
+    # densification ran (steps 126..: beyond 120 not reached; check refine
+    # machinery was exercised by alive-count bookkeeping)
+    assert trainer.refine_metrics is not None
+    n_alive = int(jnp.sum(trainer.state.alive))
+    assert 0 < n_alive <= trainer.state.alive.shape[0]
+    # all params stayed finite (dead slots too — Adam must freeze them)
+    for leaf in jax.tree.leaves(trainer.state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_schedules():
+    cfg = TrainConfig(num_iters=30000)
+    assert get_downscale_factor(1, cfg) == 4
+    assert get_downscale_factor(3000, cfg) == 2
+    assert get_downscale_factor(6000, cfg) == 1
+    assert get_downscale_factor(29999, cfg) == 1
+    assert sh_degrees_for_step(1, cfg) == 0
+    assert sh_degrees_for_step(1000, cfg) == 1
+    assert sh_degrees_for_step(5000, cfg) == 3
