@@ -91,10 +91,13 @@ def render_forward(
             height,
             width,
         )
-    elif renderer == "tiled":
-        from ..ops.rasterize_tiled import rasterize_tiled
+    elif renderer in ("tiled", "pallas"):
+        if renderer == "tiled":
+            from ..ops.rasterize_tiled import rasterize_tiled as _raster
+        else:
+            from ..ops.pallas.integration import rasterize_pallas as _raster
 
-        rgb, final_t = rasterize_tiled(
+        rgb, final_t = _raster(
             xys,
             proj.conics,
             rgbs,

@@ -51,7 +51,13 @@ def bin_gaussians(
     height: int,
     width: int,
     max_isects: int,
+    align: int = 1,
 ) -> BinnedGaussians:
+    """align > 1 pads every tile's range to a multiple of `align` entries
+    (gid sentinel = C for padding) so the Pallas kernel can DMA
+    lane-aligned chunks; tile_end still marks the true end of real
+    entries. n_isects reports the total INCLUDING alignment padding so
+    budget feedback accounts for it."""
     tb_x, tb_y = num_tiles(height, width)
     n_tiles = tb_x * tb_y
     c = proj.num_tiles_hit.shape[0]
@@ -59,7 +65,9 @@ def bin_gaussians(
     cum = jnp.cumsum(proj.num_tiles_hit)  # (C,)
     total = cum[-1]
 
-    e = jnp.arange(max_isects, dtype=jnp.int32)
+    # optimization_barrier: XLA otherwise constant-folds the iota into the
+    # searchsorted and picks a ~2000x slower lowering (measured on v5e)
+    e = jax.lax.optimization_barrier(jnp.arange(max_isects, dtype=jnp.int32))
     g = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
     in_range = e < total
     g_safe = jnp.minimum(g, c - 1)
@@ -80,15 +88,50 @@ def bin_gaussians(
         (tile_id, depth_bits, gid), num_keys=2, is_stable=True
     )
 
-    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_range = jax.lax.optimization_barrier(jnp.arange(n_tiles, dtype=jnp.int32))
     tile_start = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
 
+    if align == 1:
+        return BinnedGaussians(
+            gauss_ids=gid_sorted,
+            tile_ids=tile_sorted,
+            tile_start=tile_start,
+            tile_end=tile_end,
+            n_isects=total,
+            valid=tile_sorted < n_tiles,
+        )
+
+    # re-layout with per-tile alignment padding
+    counts = tile_end - tile_start  # (T,)
+    padded = ((counts + align - 1) // align) * align
+    pcum = jnp.cumsum(padded)
+    padded_start = (pcum - padded).astype(jnp.int32)
+    padded_total = pcum[-1]
+
+    pos_in_tile = e - tile_start[jnp.minimum(tile_sorted, n_tiles - 1)]
+    new_pos = jnp.where(
+        tile_sorted < n_tiles,
+        padded_start[jnp.minimum(tile_sorted, n_tiles - 1)] + pos_in_tile,
+        max_isects,  # dropped
+    )
+    gid_padded = jnp.full((max_isects,), c, jnp.int32).at[new_pos].set(
+        gid_sorted, mode="drop"
+    )
+    # padded slots keep their tile id so the stream stays tile-contiguous
+    slot_tile = jnp.searchsorted(pcum, e, side="right").astype(jnp.int32)
+    tile_padded = jnp.where(e < padded_total, slot_tile, n_tiles)
+
+    # clamp ranges into the budget (overflow tail is dropped, n_isects
+    # still reports the true padded total for host feedback)
+    start_cl = jnp.minimum(padded_start, max_isects).astype(jnp.int32)
+    end_cl = jnp.minimum(padded_start + counts, max_isects).astype(jnp.int32)
+
     return BinnedGaussians(
-        gauss_ids=gid_sorted,
-        tile_ids=tile_sorted,
-        tile_start=tile_start,
-        tile_end=tile_end,
-        n_isects=total,
-        valid=tile_sorted < n_tiles,
+        gauss_ids=gid_padded,
+        tile_ids=tile_padded,
+        tile_start=start_cl,
+        tile_end=end_cl,
+        n_isects=padded_total,
+        valid=gid_padded < c,
     )

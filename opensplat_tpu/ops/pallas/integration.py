@@ -1,0 +1,165 @@
+"""rasterize_pallas: drop-in replacement for rasterize_tiled backed by the
+Pallas TPU kernels (same binning, same semantics, same gradients)."""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..binning import bin_gaussians, num_tiles
+from ..projection import ProjectedGaussians
+from ..rasterize_tiled import _image_to_tiles, _tiles_to_image
+from .raster import K, PIX, REC, pallas_rasterize_backward, pallas_rasterize_forward
+
+
+def _pack_planes(xys, conics, colors, opac, gauss_ids, c):
+    """Gather per-isect Gaussian data into (16, I) field planes."""
+    g = jnp.minimum(gauss_ids, c - 1)
+    i = gauss_ids.shape[0]
+    return jnp.concatenate(
+        [
+            xys[g].T,  # x, y
+            conics[g].T,  # A, B, C
+            opac[g][None, :],
+            colors[g].T,  # r, g, b
+            jnp.zeros((REC - 9, i), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+def _interpret() -> bool:
+    import jax as _jax
+
+    return _jax.default_backend() != "tpu"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _rasterize_pallas_binned(xys, conics, colors, opac, background,
+                             gauss_ids, bins, height, width):
+    (img, final_t), _ = _pallas_fwd_impl(
+        xys, conics, colors, opac, background, gauss_ids, bins, height, width
+    )
+    return img, final_t
+
+
+def _pallas_fwd_impl(xys, conics, colors, opac, background, gauss_ids, bins,
+                     height, width):
+    tile_start, tile_end = bins
+    tb_x, tb_y = num_tiles(height, width)
+    c = xys.shape[0]
+    recs = _pack_planes(
+        jax.lax.stop_gradient(xys),
+        jax.lax.stop_gradient(conics),
+        jax.lax.stop_gradient(colors),
+        jax.lax.stop_gradient(opac),
+        gauss_ids,
+        c,
+    )
+    acc, fidx = pallas_rasterize_forward(
+        recs, tile_start, tile_end, tb_x, tb_y, interpret=_interpret()
+    )
+    rgb_t = jnp.moveaxis(acc[:, 0:3, :], 1, 2)  # (T, 256, 3)
+    T_t = acc[:, 3, :]  # (T, 256)
+    out_t = rgb_t + T_t[..., None] * background[None, None, :]
+    img = _tiles_to_image(out_t, tb_x, tb_y, height, width)
+    final_t = _tiles_to_image(T_t, tb_x, tb_y, height, width)
+    return (img, final_t), (recs, fidx, T_t)
+
+
+def _rasterize_pallas_fwd(xys, conics, colors, opac, background,
+                          gauss_ids, bins, height, width):
+    (img, final_t), (recs, fidx, T_t) = _pallas_fwd_impl(
+        xys, conics, colors, opac, background, gauss_ids, bins, height, width
+    )
+    res = (xys, conics, colors, opac, background, gauss_ids, bins, recs, fidx, T_t)
+    return (img, final_t), res
+
+
+def _rasterize_pallas_bwd(height, width, res, cotangents):
+    (xys, conics, colors, opac, background, gauss_ids, bins, recs, fidx, T_t) = res
+    tile_start, tile_end = bins
+    v_img, v_ft = cotangents
+    tb_x, tb_y = num_tiles(height, width)
+
+    v_out_t = _image_to_tiles(v_img.astype(jnp.float32), tb_x, tb_y, height, width)
+    v_oa_t = _image_to_tiles(v_ft.astype(jnp.float32), tb_x, tb_y, height, width)
+    bg_dot_t = v_out_t @ background  # (T, 256)
+    cot = jnp.concatenate(
+        [
+            jnp.moveaxis(v_out_t, 2, 1),  # (T, 3, 256)
+            v_oa_t[:, None, :],
+            T_t[:, None, :],
+            bg_dot_t[:, None, :],
+            jnp.zeros((tb_x * tb_y, 2, PIX), jnp.float32),
+        ],
+        axis=1,
+    )
+    grecs = pallas_rasterize_backward(
+        recs, tile_start, tile_end, cot, fidx, tb_x, tb_y, interpret=_interpret()
+    )
+
+    gid = gauss_ids  # sentinel C for padding rows -> dropped in the scatter
+    v_xys = jnp.zeros_like(xys).at[gid].add(grecs[0:2, :].T, mode="drop")
+    v_conics = jnp.zeros_like(conics).at[gid].add(grecs[2:5, :].T, mode="drop")
+    v_opac = jnp.zeros_like(opac).at[gid].add(grecs[5, :], mode="drop")
+    v_colors = jnp.zeros_like(colors).at[gid].add(grecs[6:9, :].T, mode="drop")
+
+    T_final_img = _tiles_to_image(T_t, tb_x, tb_y, height, width)
+    v_bg = jnp.einsum("hw,hwc->c", T_final_img, v_img.astype(jnp.float32))
+    return v_xys, v_conics, v_colors, v_opac, v_bg, None, None
+
+
+_rasterize_pallas_binned.defvjp(_rasterize_pallas_fwd, _rasterize_pallas_bwd)
+
+
+def rasterize_pallas(
+    xys: jax.Array,
+    conics: jax.Array,
+    colors: jax.Array,
+    opacities: jax.Array,
+    depths: jax.Array,
+    radii: jax.Array,
+    num_tiles_hit: jax.Array,
+    tile_min: jax.Array,
+    tile_max: jax.Array,
+    background: jax.Array,
+    height: int,
+    width: int,
+    max_isects: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pallas TPU rasterization; same contract as rasterize_tiled().
+
+    The intersection budget must absorb per-tile 128-alignment padding:
+    sized from feedback via bin_gaussians(...).n_isects."""
+    opacities = opacities.reshape(-1)
+    c = xys.shape[0]
+    tb_x, tb_y = num_tiles(height, width)
+    # every nonempty tile costs >= K slots of alignment padding; the default
+    # budget must absorb the worst case or whole tiles get clamped away
+    floor_budget = K * tb_x * tb_y + 8 * c
+    if max_isects <= 0:
+        max_isects = floor_budget
+    else:
+        max_isects = max(max_isects, K * tb_x * tb_y)
+    max_isects = ((max_isects + K - 1) // K) * K
+
+    proj_like = ProjectedGaussians(
+        xys=jax.lax.stop_gradient(xys),
+        depths=depths,
+        cam_depths=depths,
+        radii=radii,
+        conics=jax.lax.stop_gradient(conics),
+        cov2d=jax.lax.stop_gradient(conics),
+        num_tiles_hit=num_tiles_hit,
+        tile_min=tile_min,
+        tile_max=tile_max,
+        mask=radii > 0,
+    )
+    binned = bin_gaussians(proj_like, height, width, max_isects, align=K)
+    return _rasterize_pallas_binned(
+        xys, conics, colors, opacities, background.astype(jnp.float32),
+        binned.gauss_ids, (binned.tile_start, binned.tile_end), height, width,
+    )
