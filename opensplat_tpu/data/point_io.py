@@ -1,0 +1,264 @@
+"""Point-cloud I/O: PLY (binary little-endian + ascii) and COLMAP points3D.bin.
+
+Behavioral spec from the reference's point_io.cpp:
+  - fastPlyReadPointSet ... point_io.cpp:110-262 (x/y/z + optional normals,
+    contiguous-but-possibly-permuted red/green/blue, optional views)
+  - colmapReadPointSet .... point_io.cpp:361-394 (id, xyz f64, rgb u8,
+    error f64, variable-length track skipped)
+  - fastPlySavePointSet ... point_io.cpp:461-501
+  - dispatch by extension . point_io.cpp:100-108 (LAS/LAZ needs PDAL in the
+    reference; here it's gated the same way behind an optional laspy import)
+
+The reader is re-designed rather than transliterated: the PLY header is
+parsed into a numpy structured dtype so extraction of the wanted columns is
+a single vectorized view, and points3D.bin is parsed with a single
+offset-scan loop followed by one fancy-indexed gather (no per-point Python
+field reads).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import struct
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_PLY_DTYPES = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+
+
+@dataclasses.dataclass
+class PointSet:
+    points: np.ndarray  # (N, 3) float32
+    colors: Optional[np.ndarray] = None  # (N, 3) uint8
+    normals: Optional[np.ndarray] = None  # (N, 3) float32
+    views: Optional[np.ndarray] = None  # (N,) uint8
+
+    def count(self) -> int:
+        return int(self.points.shape[0])
+
+    def colors_or_gray(self) -> np.ndarray:
+        if self.colors is not None:
+            return self.colors
+        return np.full((self.count(), 3), 128, np.uint8)
+
+
+def read_point_set(filename: str) -> PointSet:
+    """Dispatch by extension (point_io.cpp:100-108)."""
+    ext = os.path.splitext(filename)[1].lower()
+    if ext == ".ply":
+        return read_ply_point_set(filename)
+    if ext == ".bin":
+        return read_colmap_points3d(filename)
+    if ext in (".las", ".laz"):
+        return _read_las_point_set(filename)
+    raise RuntimeError(f"Unsupported point cloud file extension: {ext}")
+
+
+def _parse_ply_header(f) -> Dict:
+    """Parse the full PLY header -> {format, count, properties:[(name,dtype)]}."""
+    line = f.readline().decode("ascii", "replace").strip()
+    if line != "ply":
+        raise RuntimeError("Invalid PLY file (header does not start with ply)")
+    fmt = None
+    count = None
+    props: List = []
+    in_vertex = False
+    while True:
+        raw = f.readline()
+        if not raw:
+            raise RuntimeError("Invalid PLY file (truncated header)")
+        line = raw.decode("ascii", "replace").strip()
+        if line.startswith("comment") or line.startswith("obj_info") or not line:
+            continue
+        if line.startswith("format"):
+            fmt = line.split()[1]
+            continue
+        if line.startswith("element"):
+            toks = line.split()
+            in_vertex = toks[1] == "vertex"
+            if in_vertex:
+                count = int(toks[2])
+            continue
+        if line.startswith("property"):
+            if not in_vertex:
+                continue
+            toks = line.split()
+            if toks[1] == "list":
+                raise RuntimeError("PLY list properties on vertices are unsupported")
+            props.append((toks[-1], toks[1]))
+            continue
+        if line == "end_header":
+            break
+    if fmt is None or count is None:
+        raise RuntimeError("Invalid PLY file (missing format/element vertex)")
+    return {"format": fmt, "count": count, "properties": props}
+
+
+def read_ply_point_set(filename: str) -> PointSet:
+    """PLY reader covering the reference's feature set (point_io.cpp:110-262):
+    float x/y/z; optional float normals (nx|normal_x|normalx); optional uint8
+    red/green/blue (any contiguous order); optional uint8 views. Unlike the
+    reference it tolerates extra properties (they are simply ignored)."""
+    with open(filename, "rb") as f:
+        hdr = _parse_ply_header(f)
+        names = [n for n, _ in hdr["properties"]]
+        for req in ("x", "y", "z"):
+            if req not in names:
+                raise RuntimeError(f"Invalid PLY file (missing property {req})")
+
+        count = hdr["count"]
+        normal_names = None
+        for cand in (("nx", "ny", "nz"),
+                     ("normal_x", "normal_y", "normal_z"),
+                     ("normalx", "normaly", "normalz")):
+            if all(c in names for c in cand):
+                normal_names = cand
+                break
+        has_colors = all(c in names for c in ("red", "green", "blue"))
+        has_views = "views" in names
+
+        if hdr["format"] == "ascii":
+            data = np.loadtxt(f, dtype=np.float64, max_rows=count, ndmin=2)
+            if data.shape[1] != len(names):
+                raise RuntimeError("Invalid PLY file (column count mismatch)")
+            cols = {n: data[:, i] for i, n in enumerate(names)}
+        else:
+            endian = "<" if hdr["format"] == "binary_little_endian" else ">"
+            dt = np.dtype(
+                [(n, endian + _PLY_DTYPES[t]) for n, t in hdr["properties"]]
+            )
+            rec = np.frombuffer(f.read(count * dt.itemsize), dtype=dt, count=count)
+            cols = {n: rec[n] for n in names}
+
+        points = np.stack(
+            [cols["x"], cols["y"], cols["z"]], axis=1
+        ).astype(np.float32)
+        normals = None
+        if normal_names is not None:
+            normals = np.stack(
+                [cols[c] for c in normal_names], axis=1
+            ).astype(np.float32)
+        colors = None
+        if has_colors:
+            colors = np.stack(
+                [cols["red"], cols["green"], cols["blue"]], axis=1
+            ).astype(np.uint8)
+        views = cols["views"].astype(np.uint8) if has_views else None
+        return PointSet(points=points, colors=colors, normals=normals, views=views)
+
+
+def read_colmap_points3d(filename: str) -> PointSet:
+    """COLMAP points3D.bin (point_io.cpp:361-394).
+
+    Record: u64 id, 3x f64 xyz, 3x u8 rgb, f64 error, u64 track_len,
+    track_len x (u32 image_id, u32 point2D_idx) = 8 bytes each. Offsets are
+    found with one cheap scan (only track_len is read per record); the
+    payload is then gathered vectorized.
+    """
+    with open(filename, "rb") as f:
+        buf = f.read()
+    n = struct.unpack_from("<Q", buf, 0)[0]
+    head = 8 + 24 + 3 + 8  # id + xyz + rgb + error
+    offsets = np.empty(n, np.int64)
+    pos = 8
+    unpack_q = struct.unpack_from
+    for i in range(n):
+        offsets[i] = pos
+        track_len = unpack_q("<Q", buf, pos + head)[0]
+        pos += head + 8 + 8 * track_len
+    arr = np.frombuffer(buf, np.uint8)
+    # gather the fixed-size head of every record into an (n, head) table
+    table = arr[offsets[:, None] + np.arange(head, dtype=np.int64)]
+    xyz = table[:, 8:32].copy().view("<f8").reshape(n, 3).astype(np.float32)
+    rgb = table[:, 32:35].copy()
+    return PointSet(points=xyz, colors=rgb)
+
+
+def _read_las_point_set(filename: str) -> PointSet:
+    """LAS/LAZ via laspy when available (reference gates this behind PDAL,
+    point_io.cpp:264-359); raises the same style of error otherwise."""
+    try:
+        import laspy  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "Unsupported file extension for this build (LAS/LAZ requires the "
+            "optional laspy package, mirroring the reference's optional PDAL "
+            "support)"
+        ) from e
+    las = laspy.read(filename)
+    points = np.stack([las.x, las.y, las.z], axis=1).astype(np.float32)
+    colors = None
+    if "red" in las.point_format.dimension_names:
+        r, g, b = np.asarray(las.red), np.asarray(las.green), np.asarray(las.blue)
+        if max(r.max(initial=0), g.max(initial=0), b.max(initial=0)) > 255:
+            r, g, b = (
+                (r / 65535.0 * 255.0).astype(np.uint8),
+                (g / 65535.0 * 255.0).astype(np.uint8),
+                (b / 65535.0 * 255.0).astype(np.uint8),
+            )
+        colors = np.stack([r, g, b], axis=1).astype(np.uint8)
+    return PointSet(points=points, colors=colors)
+
+
+def save_point_set(pset: PointSet, filename: str):
+    """Binary-LE PLY writer, same layout as the reference
+    (point_io.cpp:461-501)."""
+    n = pset.count()
+    fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    header = [
+        b"ply",
+        b"format binary_little_endian 1.0",
+        b"comment Generated by opensplat_tpu",
+        b"element vertex " + str(n).encode(),
+        b"property float x",
+        b"property float y",
+        b"property float z",
+    ]
+    if pset.normals is not None:
+        fields += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
+        header += [b"property float nx", b"property float ny", b"property float nz"]
+    if pset.colors is not None:
+        fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+        header += [
+            b"property uchar red",
+            b"property uchar green",
+            b"property uchar blue",
+        ]
+    if pset.views is not None:
+        fields += [("views", "u1")]
+        header += [b"property uchar views"]
+    header.append(b"end_header")
+
+    rec = np.zeros(n, dtype=np.dtype(fields))
+    rec["x"], rec["y"], rec["z"] = (
+        pset.points[:, 0],
+        pset.points[:, 1],
+        pset.points[:, 2],
+    )
+    if pset.normals is not None:
+        rec["nx"], rec["ny"], rec["nz"] = (
+            pset.normals[:, 0],
+            pset.normals[:, 1],
+            pset.normals[:, 2],
+        )
+    if pset.colors is not None:
+        rec["red"], rec["green"], rec["blue"] = (
+            pset.colors[:, 0],
+            pset.colors[:, 1],
+            pset.colors[:, 2],
+        )
+    if pset.views is not None:
+        rec["views"] = pset.views
+    with open(filename, "wb") as f:
+        f.write(b"\n".join(header) + b"\n")
+        f.write(rec.tobytes())
