@@ -1,0 +1,244 @@
+"""opensplat-compatible command-line trainer.
+
+Flags mirror the reference CLI name-for-name with identical defaults
+(opensplat.cpp:19-51); orchestration mirrors its main()
+(opensplat.cpp:121-207): load project, load images in parallel, withhold
+a validation camera, train with refine/reset, periodic saves and
+validation renders, final cameras.json + scene + validation loss.
+
+TPU-native additions: --renderer (dense|tiled|pallas|auto), --capacity,
+--checkpoint-every/--ckpt-dir for exact native resume (includes Adam
+moments, unlike PLY resume), and --resume accepts either a .ply or a
+native .npz checkpoint.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="opensplat",
+        description="TPU-native Open Source 3D Gaussian Splats generator",
+    )
+    p.add_argument("input", nargs="?", help="Path to project root "
+                   "(colmap/nerfstudio/opensfm/odm/openmvg)")
+    p.add_argument("-i", "--input", dest="input_flag", default=None,
+                   help="Path to nerfstudio project")
+    p.add_argument("-o", "--output", default="splat.ply",
+                   help="Path where to save output scene")
+    p.add_argument("-s", "--save-every", type=int, default=-1,
+                   help="Save output scene every these many steps (-1 to disable)")
+    p.add_argument("--resume", default="",
+                   help="Resume training from this PLY file or native .npz checkpoint")
+    p.add_argument("--val", action="store_true",
+                   help="Withhold a camera shot for validating the scene loss")
+    p.add_argument("--val-image", default="random",
+                   help="Filename of the image to withhold for validation")
+    p.add_argument("--val-render", default="",
+                   help="Path of the directory where to render validation images")
+    p.add_argument("--keep-crs", action="store_true",
+                   help="Retain the project input's coordinate reference system")
+    p.add_argument("--cpu", action="store_true", help="Force CPU execution")
+    p.add_argument("-n", "--num-iters", type=int, default=30000,
+                   help="Number of iterations to run")
+    p.add_argument("-d", "--downscale-factor", type=float, default=1.0,
+                   help="Scale input images by this factor")
+    p.add_argument("--num-downscales", type=int, default=2)
+    p.add_argument("--resolution-schedule", type=int, default=3000,
+                   help="Double the image resolution every these many steps")
+    p.add_argument("--sh-degree", type=int, default=3)
+    p.add_argument("--sh-degree-interval", type=int, default=1000)
+    p.add_argument("--ssim-weight", type=float, default=0.2)
+    p.add_argument("--refine-every", type=int, default=100)
+    p.add_argument("--warmup-length", type=int, default=500)
+    p.add_argument("--reset-alpha-every", type=int, default=30)
+    p.add_argument("--densify-grad-thresh", type=float, default=0.0002)
+    p.add_argument("--densify-size-thresh", type=float, default=0.01)
+    p.add_argument("--stop-screen-size-at", type=int, default=4000)
+    p.add_argument("--split-screen-size", type=float, default=0.05)
+    p.add_argument("--colmap-image-path", default="",
+                   help="Override the default image path for COLMAP input")
+    # TPU-native flags
+    p.add_argument("--renderer", default="auto",
+                   choices=["auto", "dense", "tiled", "pallas"])
+    p.add_argument("--capacity", type=int, default=None,
+                   help="Fixed Gaussian capacity (default: auto)")
+    p.add_argument("--checkpoint-every", type=int, default=-1,
+                   help="Write a native full-state checkpoint every N steps")
+    p.add_argument("--ckpt-dir", default="",
+                   help="Directory for native checkpoints")
+    p.add_argument("--version", action="version", version="opensplat_tpu 0.1.0")
+    return p
+
+
+def pick_renderer(choice: str) -> str:
+    if choice != "auto":
+        return choice
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "tiled"
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    project_root = args.input_flag or args.input
+    if not project_root:
+        build_parser().print_help()
+        return 0
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from .config import TrainConfig
+    from .data.dataset import input_data_from_x
+    from .io import load_checkpoint, load_ply, save_checkpoint, save_scene
+    from .models.gaussians import init_model
+    from .ops.ssim import main_loss
+    from .train import Trainer, get_downscale_factor
+
+    print(f"Using {jax.default_backend().upper()}")
+    display_step = 10
+
+    cfg = TrainConfig(
+        input=project_root,
+        output=args.output,
+        save_every=args.save_every,
+        resume=args.resume,
+        val=args.val,
+        val_image=args.val_image,
+        val_render=args.val_render,
+        keep_crs=args.keep_crs,
+        cpu=args.cpu,
+        num_iters=args.num_iters,
+        downscale_factor=max(args.downscale_factor, 1.0),
+        num_downscales=args.num_downscales,
+        resolution_schedule=args.resolution_schedule,
+        sh_degree=args.sh_degree,
+        sh_degree_interval=args.sh_degree_interval,
+        ssim_weight=args.ssim_weight,
+        refine_every=args.refine_every,
+        warmup_length=args.warmup_length,
+        reset_alpha_every=args.reset_alpha_every,
+        densify_grad_thresh=args.densify_grad_thresh,
+        densify_size_thresh=args.densify_size_thresh,
+        stop_screen_size_at=args.stop_screen_size_at,
+        split_screen_size=args.split_screen_size,
+        colmap_image_path=args.colmap_image_path,
+        capacity=args.capacity,
+        renderer=args.renderer,
+        checkpoint_every=args.checkpoint_every,
+        ckpt_dir=args.ckpt_dir,
+    )
+
+    input_data = input_data_from_x(project_root, cfg.colmap_image_path)
+
+    with ThreadPoolExecutor() as ex:  # parallel image load (opensplat.cpp:124)
+        list(ex.map(lambda c: c.load_image(cfg.downscale_factor),
+                    input_data.cameras))
+
+    validate = cfg.val or bool(cfg.val_render)
+    cams, val_cam = input_data.get_cameras(validate, cfg.val_image)
+    if cfg.val_render and not os.path.exists(cfg.val_render):
+        os.makedirs(cfg.val_render, exist_ok=True)
+
+    start_step = 1
+    if cfg.resume:
+        if cfg.resume.endswith(".npz"):
+            state, step0 = load_checkpoint(cfg.resume)
+        else:
+            state, step0 = load_ply(
+                cfg.resume,
+                keep_crs=cfg.keep_crs,
+                scale=input_data.scale,
+                translation=input_data.translation,
+                capacity=cfg.capacity,
+            )
+        start_step = step0 + 1
+        print(f"Resuming from {cfg.resume} at step {start_step}")
+    else:
+        state = init_model(
+            input_data.points_xyz,
+            input_data.points_rgb,
+            sh_degree=cfg.sh_degree,
+            capacity=cfg.capacity,
+            capacity_mult=cfg.capacity_mult,
+            capacity_round=cfg.capacity_round,
+            seed=cfg.seed,
+        )
+
+    renderer = pick_renderer(cfg.renderer)
+    trainer = Trainer(state, cams, cfg, renderer=renderer)
+
+    def save_intermediate(step):
+        stem, ext = os.path.splitext(cfg.output)
+        save_scene(
+            trainer.state.params, trainer.state.alive,
+            f"{stem}_{step}{ext}", step,
+            keep_crs=cfg.keep_crs, scale=input_data.scale,
+            translation=input_data.translation,
+        )
+        print(f"Wrote {stem}_{step}{ext}")
+
+    for step in range(start_step, cfg.num_iters + 1):
+        outcome = trainer.run_step(step)
+        if step % display_step == 0:
+            pct = int(100.0 * step / cfg.num_iters)
+            print(f"Step {step}: {outcome.loss:.6f} ({pct}%)")
+        if cfg.save_every > 0 and step % cfg.save_every == 0:
+            save_intermediate(step)
+        if cfg.checkpoint_every > 0 and step % cfg.checkpoint_every == 0:
+            ckpt_dir = cfg.ckpt_dir or os.path.dirname(cfg.output) or "."
+            os.makedirs(ckpt_dir, exist_ok=True)
+            save_checkpoint(
+                trainer.state, step, os.path.join(ckpt_dir, f"ckpt_{step}.npz")
+            )
+        if cfg.val_render and step % 10 == 0:
+            rgb = np.asarray(trainer.render(val_cam, step))
+            _write_png(os.path.join(cfg.val_render, f"{step}.png"), rgb)
+
+    cameras_json = os.path.join(os.path.dirname(cfg.output) or ".", "cameras.json")
+    input_data.save_cameras(cameras_json, cfg.keep_crs)
+    save_scene(
+        trainer.state.params, trainer.state.alive, cfg.output, cfg.num_iters,
+        keep_crs=cfg.keep_crs, scale=input_data.scale,
+        translation=input_data.translation,
+    )
+    print(f"Wrote {cfg.output}")
+
+    if val_cam is not None:
+        import jax.numpy as jnp
+
+        rgb = trainer.render(val_cam, cfg.num_iters)
+        gt = val_cam.get_image(get_downscale_factor(cfg.num_iters, cfg))
+        vloss = float(main_loss(rgb, jnp.asarray(gt), cfg.ssim_weight))
+        print(f"{val_cam.file_path} validation loss: {vloss:.6f}")
+    return 0
+
+
+def _write_png(path: str, rgb):
+    import numpy as np
+
+    try:
+        import cv2
+
+        bgr = cv2.cvtColor(
+            (np.clip(rgb, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+        )
+        cv2.imwrite(path, bgr)
+    except ImportError:
+        from PIL import Image
+
+        Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

