@@ -6,15 +6,26 @@ Reference pipeline: map_gaussian_to_intersects (forward.cu:107-143) emits
 (rasterize_gaussians.cpp:25), get_tile_bin_edges finds per-tile ranges
 (forward.cu:148-169).
 
-TPU re-design (no int64 needed, no scatter):
+TPU re-design (no int64, no big gathers, no big searchsorteds):
   * the variable-length intersection list becomes a fixed budget
-    MAX_ISECTS; entry e finds its source Gaussian with a searchsorted
-    over the cumulative tile counts (a gather, not a scatter);
+    MAX_ISECTS;
+  * per-isect lookups of per-Gaussian values are NOT gathers — a 1M+-row
+    dynamic gather costs 10-18 ms on v5e, and XLA lowers big
+    searchsorteds to log(N) such gathers. Instead every per-Gaussian
+    field is broadcast to its intersection segment with scatter-add of
+    VALUE DELTAS at segment starts followed by one cumsum (telescoping
+    is exact in int32) — ~50x faster, measured;
+  * small per-Gaussian fields (tile bbox, width) are packed into one
+    int32 so one cumsum pass broadcasts all three;
   * the sort is one lexicographic jax.lax.sort over (tile_id,
     depth_bits, gaussian_id) with num_keys=2 — depth_bits is the
     float32 bit pattern, monotone for positive camera-space depths
     (the reference uses the same bit trick, forward.cu:132-137);
-  * per-tile [start, end) ranges come from two searchsorteds.
+  * per-tile [start, end) ranges come from two small searchsorteds
+    (T queries, cheap: log(I) passes of T-element gathers);
+  * the alignment re-layout finds each entry's position inside its tile
+    run from run boundaries (neighbor comparison + cummax), again
+    avoiding per-isect gathers.
 
 Overflow: if the true intersection count exceeds the budget, the tail
 (highest Gaussian indices) is dropped; `n_isects` is returned so the host
@@ -46,6 +57,17 @@ def num_tiles(height: int, width: int):
     )
 
 
+def _ffill_deltas(values: jax.Array, positions: jax.Array, size: int) -> jax.Array:
+    """Broadcast per-segment `values` onto a length-`size` stream whose
+    segment s starts at positions[s] (non-decreasing; empty segments share
+    their start with the next segment — their deltas telescope away).
+    Scatter value deltas at the starts, then cumsum. Exact for integers."""
+    prev = jnp.concatenate([values[:1] * 0, values[:-1]])
+    deltas = values - prev
+    arr = jnp.zeros((size,), values.dtype).at[positions].add(deltas, mode="drop")
+    return jnp.cumsum(arr)
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     height: int,
@@ -62,32 +84,42 @@ def bin_gaussians(
     n_tiles = tb_x * tb_y
     c = proj.num_tiles_hit.shape[0]
 
-    cum = jnp.cumsum(proj.num_tiles_hit)  # (C,)
+    cnt = proj.num_tiles_hit
+    cum = jnp.cumsum(cnt)  # (C,)
     total = cum[-1]
+    starts = cum - cnt
 
-    # optimization_barrier: XLA otherwise constant-folds the iota into the
-    # searchsorted and picks a ~2000x slower lowering (measured on v5e)
-    e = jax.lax.optimization_barrier(jnp.arange(max_isects, dtype=jnp.int32))
-    g = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
+    e = jnp.arange(max_isects, dtype=jnp.int32)
     in_range = e < total
-    g_safe = jnp.minimum(g, c - 1)
-    start = cum[g_safe] - proj.num_tiles_hit[g_safe]
-    off = e - start
-    bw = jnp.maximum(proj.tile_max[g_safe, 0] - proj.tile_min[g_safe, 0], 1)
-    tx = proj.tile_min[g_safe, 0] + off % bw
-    ty = proj.tile_min[g_safe, 1] + off // bw
-    tile_id = jnp.where(in_range, ty * tb_x + tx, n_tiles).astype(jnp.int32)
 
-    depth_bits = jax.lax.bitcast_convert_type(
-        proj.depths[g_safe].astype(jnp.float32), jnp.int32
+    # segmented broadcast of per-Gaussian fields onto the isect stream
+    gid_f = _ffill_deltas(jnp.arange(c, dtype=jnp.int32), starts, max_isects)
+    start_f = _ffill_deltas(starts, starts, max_isects)
+    # pack tile_min.x (10b), tile_min.y (10b), bbox width (11b) -> 31 bits
+    bw_g = jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1)
+    packed = (
+        (proj.tile_min[:, 0] << 21) | (proj.tile_min[:, 1] << 11) | bw_g
+    ).astype(jnp.int32)
+    packed_f = _ffill_deltas(packed, starts, max_isects)
+    depth_bits_g = jax.lax.bitcast_convert_type(
+        proj.depths.astype(jnp.float32), jnp.int32
     )
-    depth_bits = jnp.where(in_range, depth_bits, jnp.iinfo(jnp.int32).max)
-    gid = jnp.where(in_range, g_safe, c)
+    depth_f = _ffill_deltas(depth_bits_g, starts, max_isects)
+
+    off = e - start_f
+    bw = packed_f & 0x7FF
+    tx = (packed_f >> 21) + off % bw
+    ty = ((packed_f >> 11) & 0x3FF) + off // bw
+    tile_id = jnp.where(in_range, ty * tb_x + tx, n_tiles).astype(jnp.int32)
+    depth_bits = jnp.where(in_range, depth_f, jnp.iinfo(jnp.int32).max)
+    gid = jnp.where(in_range, gid_f, c).astype(jnp.int32)
 
     tile_sorted, _, gid_sorted = jax.lax.sort(
         (tile_id, depth_bits, gid), num_keys=2, is_stable=True
     )
 
+    # T queries over the big sorted stream: cheap (log(I) passes of
+    # T-element gathers)
     tile_range = jax.lax.optimization_barrier(jnp.arange(n_tiles, dtype=jnp.int32))
     tile_start = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
@@ -109,17 +141,34 @@ def bin_gaussians(
     padded_start = (pcum - padded).astype(jnp.int32)
     padded_total = pcum[-1]
 
-    pos_in_tile = e - tile_start[jnp.minimum(tile_sorted, n_tiles - 1)]
+    # position inside the current tile run from run boundaries (no gather)
+    is_boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), tile_sorted[1:] != tile_sorted[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_boundary, e, -1))
+    pos_in_tile = e - run_start
+    # padded_start value of each entry's tile: scatter (monotone) at the
+    # tiles' unpadded start positions, forward-fill with cummax
+    padded_start_f = jax.lax.cummax(
+        jnp.zeros((max_isects,), jnp.int32)
+        .at[jnp.minimum(tile_start, max_isects)]
+        .max(padded_start, mode="drop")
+    )
     new_pos = jnp.where(
         tile_sorted < n_tiles,
-        padded_start[jnp.minimum(tile_sorted, n_tiles - 1)] + pos_in_tile,
+        padded_start_f + pos_in_tile,
         max_isects,  # dropped
     )
     gid_padded = jnp.full((max_isects,), c, jnp.int32).at[new_pos].set(
         gid_sorted, mode="drop"
     )
-    # padded slots keep their tile id so the stream stays tile-contiguous
-    slot_tile = jnp.searchsorted(pcum, e, side="right").astype(jnp.int32)
+    # padded slots keep their tile id so the stream stays tile-contiguous:
+    # scatter tile index at padded starts (monotone), forward-fill
+    slot_tile = jax.lax.cummax(
+        jnp.zeros((max_isects,), jnp.int32)
+        .at[jnp.minimum(padded_start, max_isects)]
+        .max(jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")
+    )
     tile_padded = jnp.where(e < padded_total, slot_tile, n_tiles)
 
     # clamp ranges into the budget (overflow tail is dropped, n_isects
