@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write a native full-state checkpoint every N steps")
     p.add_argument("--ckpt-dir", default="",
                    help="Directory for native checkpoints")
+    p.add_argument("--metrics-file", default="",
+                   help="Write per-step structured metrics (JSONL) here")
+    p.add_argument("--profile-dir", default="",
+                   help="Capture a jax.profiler device trace into this dir")
     p.add_argument("--version", action="version", version="opensplat_tpu 0.1.0")
     return p
 
@@ -178,6 +182,10 @@ def main(argv=None) -> int:
     renderer = pick_renderer(cfg.renderer)
     trainer = Trainer(state, cams, cfg, renderer=renderer)
 
+    from .utils.metrics import MetricsLogger, profile_trace
+
+    metrics = MetricsLogger(args.metrics_file)
+
     def save_intermediate(step):
         stem, ext = os.path.splitext(cfg.output)
         save_scene(
@@ -188,11 +196,28 @@ def main(argv=None) -> int:
         )
         print(f"Wrote {stem}_{step}{ext}")
 
+    profiling = None
     for step in range(start_step, cfg.num_iters + 1):
+        if args.profile_dir and step == start_step + 5:  # skip compile steps
+            profiling = profile_trace(args.profile_dir)
+            profiling.__enter__()
         outcome = trainer.run_step(step)
+        h, w = trainer.last_hw
+        metrics.step(step, outcome.loss, outcome.psnr, outcome.n_alive, h, w)
+        if trainer.refine_metrics is not None:
+            metrics.refine(step, trainer.refine_metrics)
+            trainer.refine_metrics = None
+        if args.profile_dir and step == min(start_step + 15, cfg.num_iters):
+            if profiling is not None:
+                profiling.__exit__(None, None, None)
+                profiling = None
         if step % display_step == 0:
             pct = int(100.0 * step / cfg.num_iters)
-            print(f"Step {step}: {outcome.loss:.6f} ({pct}%)")
+            print(
+                f"Step {step}: {outcome.loss:.6f} ({pct}%)"
+                f" [{metrics.steps_per_sec():.2f} steps/s,"
+                f" {outcome.n_alive} gaussians]"
+            )
         if cfg.save_every > 0 and step % cfg.save_every == 0:
             save_intermediate(step)
         if cfg.checkpoint_every > 0 and step % cfg.checkpoint_every == 0:
@@ -205,6 +230,9 @@ def main(argv=None) -> int:
             rgb = np.asarray(trainer.render(val_cam, step))
             _write_png(os.path.join(cfg.val_render, f"{step}.png"), rgb)
 
+    if profiling is not None:
+        profiling.__exit__(None, None, None)
+    metrics.close()
     cameras_json = os.path.join(os.path.dirname(cfg.output) or ".", "cameras.json")
     input_data.save_cameras(cameras_json, cfg.keep_crs)
     save_scene(
