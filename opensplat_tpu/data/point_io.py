@@ -161,12 +161,18 @@ def read_colmap_points3d(filename: str) -> PointSet:
     """COLMAP points3D.bin (point_io.cpp:361-394).
 
     Record: u64 id, 3x f64 xyz, 3x u8 rgb, f64 error, u64 track_len,
-    track_len x (u32 image_id, u32 point2D_idx) = 8 bytes each. Offsets are
-    found with one cheap scan (only track_len is read per record); the
-    payload is then gathered vectorized.
+    track_len x (u32 image_id, u32 point2D_idx) = 8 bytes each.
+
+    Uses the native C++ single-pass parser when available
+    (native/point_io.cpp); the numpy fallback finds record offsets with
+    one cheap scan (only track_len is read per record) and then gathers
+    the payload vectorized.
     """
     with open(filename, "rb") as f:
         buf = f.read()
+    native = _native_colmap_points3d(buf)
+    if native is not None:
+        return native
     n = struct.unpack_from("<Q", buf, 0)[0]
     head = 8 + 24 + 3 + 8  # id + xyz + rgb + error
     offsets = np.empty(n, np.int64)
@@ -181,6 +187,34 @@ def read_colmap_points3d(filename: str) -> PointSet:
     table = arr[offsets[:, None] + np.arange(head, dtype=np.int64)]
     xyz = table[:, 8:32].copy().view("<f8").reshape(n, 3).astype(np.float32)
     rgb = table[:, 32:35].copy()
+    return PointSet(points=xyz, colors=rgb)
+
+
+def _native_colmap_points3d(buf: bytes):
+    """points3D.bin via the C++ single-pass parser; None -> use numpy."""
+    import ctypes
+
+    from ..native.loader import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = lib.colmap_points3d_count(buf, len(buf))
+    if n < 0:
+        raise RuntimeError("Malformed points3D.bin (truncated header)")
+    xyz = np.empty((n, 3), np.float32)
+    rgb = np.empty((n, 3), np.uint8)
+    parsed = lib.colmap_points3d_parse(
+        buf,
+        len(buf),
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+    )
+    if parsed != n:
+        raise RuntimeError(
+            f"Malformed points3D.bin (parsed {parsed} of {n} points)"
+        )
     return PointSet(points=xyz, colors=rgb)
 
 
