@@ -50,9 +50,16 @@ def main():
         height=h, width=w, sh_deg=3, cfg=cfg, accumulate=True, renderer=renderer,
     )
 
-    # warmup/compile
+    # warmup/compile; then adopt the adaptive isect budget like the Trainer
     state, m = train_step(state, **args)
     jax.block_until_ready(m["loss"])
+    if renderer in ("tiled", "pallas") and int(m["n_isects"]) > 0:
+        bucket = 131072
+        args["isect_budget"] = (
+            (int(int(m["n_isects"]) * 1.3) + bucket - 1) // bucket * bucket
+        )
+        state, m = train_step(state, **args)
+        jax.block_until_ready(m["loss"])
 
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
     t0 = time.perf_counter()

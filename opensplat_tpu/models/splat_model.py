@@ -31,6 +31,7 @@ class RenderOutputs(NamedTuple):
     mask: jax.Array  # (C,) bool visible
     xys: jax.Array  # (C, 2)
     depths: jax.Array  # (C,)
+    n_isects: jax.Array  # () int32 padded isect count (0 for dense renderer)
 
 
 def render_forward(
@@ -47,6 +48,7 @@ def render_forward(
     background: jax.Array,
     xys_shift: Optional[jax.Array] = None,
     renderer: str = "dense",
+    isect_budget: int = 0,
 ) -> RenderOutputs:
     viewmat, full_proj, cam_pos = camera_matrices(cam_to_world, fx, fy, width, height)
 
@@ -79,6 +81,7 @@ def render_forward(
     rgbs = spherical_harmonics(sh_degrees_to_use, viewdirs, colors)
     rgbs = jnp.maximum(rgbs + 0.5, 0.0)  # model.cpp:192
 
+    n_isects = jnp.zeros((), jnp.int32)
     if renderer == "dense":
         rgb, final_t = rasterize(
             xys,
@@ -94,8 +97,15 @@ def render_forward(
     elif renderer in ("tiled", "pallas"):
         if renderer == "tiled":
             from ..ops.rasterize_tiled import rasterize_tiled as _raster
+            from ..ops.binning import count_isects
+
+            _, n_isects = count_isects(proj, height, width, align=1)
         else:
             from ..ops.pallas.integration import rasterize_pallas as _raster
+            from ..ops.binning import count_isects
+            from ..ops.pallas.raster import K as _K
+
+            _, n_isects = count_isects(proj, height, width, align=_K)
 
         rgb, final_t = _raster(
             xys,
@@ -110,6 +120,7 @@ def render_forward(
             background,
             height,
             width,
+            max_isects=isect_budget,
         )
     else:
         raise ValueError(f"unknown renderer {renderer!r}")
@@ -122,4 +133,5 @@ def render_forward(
         mask=proj.mask,
         xys=xys,
         depths=proj.depths,
+        n_isects=n_isects,
     )

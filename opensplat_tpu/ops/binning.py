@@ -68,6 +68,32 @@ def _ffill_deltas(values: jax.Array, positions: jax.Array, size: int) -> jax.Arr
     return jnp.cumsum(arr)
 
 
+def count_isects(
+    proj: ProjectedGaussians, height: int, width: int, align: int = 1
+):
+    """(true_total, padded_total) intersection counts WITHOUT binning.
+
+    O(C + T): per-tile histogram via 4-corner scatter + 2D integral image
+    over tile rects (each Gaussian covers a tile rectangle). Used for
+    adaptive budget feedback — unlike BinnedGaussians.n_isects it is exact
+    even when the current budget already overflowed.
+    """
+    tb_x, tb_y = num_tiles(height, width)
+    live = (proj.num_tiles_hit > 0).astype(jnp.int32)
+    tmin, tmax = proj.tile_min, proj.tile_max
+    grid = (
+        jnp.zeros((tb_y + 1, tb_x + 1), jnp.int32)
+        .at[tmin[:, 1], tmin[:, 0]].add(live)
+        .at[tmin[:, 1], tmax[:, 0]].add(-live)
+        .at[tmax[:, 1], tmin[:, 0]].add(-live)
+        .at[tmax[:, 1], tmax[:, 0]].add(live)
+    )
+    hist = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:tb_y, :tb_x]
+    total = jnp.sum(proj.num_tiles_hit)
+    padded = ((hist + align - 1) // align) * align
+    return total, jnp.sum(padded)
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     height: int,

@@ -37,7 +37,10 @@ def sh_degrees_for_step(step: int, cfg: TrainConfig) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "sh_deg", "cfg", "accumulate", "renderer"),
+    static_argnames=(
+        "height", "width", "sh_deg", "cfg", "accumulate", "renderer",
+        "isect_budget",
+    ),
 )
 def train_step(
     state: TrainState,
@@ -54,6 +57,7 @@ def train_step(
     cfg: TrainConfig,
     accumulate: bool,
     renderer: str = "dense",
+    isect_budget: int = 0,
 ):
     background = jnp.asarray(DEFAULT_BACKGROUND, jnp.float32)
     capacity = state.alive.shape[0]
@@ -73,6 +77,7 @@ def train_step(
             background,
             xys_shift=xys_shift,
             renderer=renderer,
+            isect_budget=isect_budget,
         )
         loss = main_loss(out.rgb, gt_image, cfg.ssim_weight)
         return loss, out
@@ -100,6 +105,7 @@ def train_step(
         "loss": loss,
         "psnr": psnr(out.rgb, gt_image),
         "n_visible": jnp.sum(out.mask),
+        "n_isects": out.n_isects,
     }
     return new_state, metrics
 
@@ -142,6 +148,23 @@ class Trainer:
         self.sampler = InfiniteRandomSampler(len(cameras), seed=cfg.seed)
         self.last_hw = (0, 0)
         self.refine_metrics: Optional[dict] = None
+        # adaptive intersection budgets, keyed by render resolution;
+        # bucketed to bound recompiles (SURVEY.md §7 "bucketed recompile")
+        self._isect_budgets: dict = {}
+
+    _BUDGET_BUCKET = 131072
+
+    def _budget_for(self, h: int, w: int) -> int:
+        return self._isect_budgets.get((h, w), 0)  # 0 = renderer default
+
+    def _update_budget(self, h: int, w: int, n_isects: int):
+        if self.renderer not in ("tiled", "pallas") or n_isects <= 0:
+            return
+        cur = self._isect_budgets.get((h, w), 0)
+        want = ((int(n_isects * 1.3) + self._BUDGET_BUCKET - 1)
+                // self._BUDGET_BUCKET) * self._BUDGET_BUCKET
+        if cur == 0 or n_isects > cur or want < cur * 0.6:
+            self._isect_budgets[(h, w)] = max(want, n_isects)
 
     def run_step(self, step: int) -> StepOutcome:
         cfg = self.cfg
@@ -171,7 +194,9 @@ class Trainer:
             cfg,
             accumulate,
             self.renderer,
+            self._budget_for(h, w),
         )
+        self._update_budget(h, w, int(metrics["n_isects"]))
 
         if step % cfg.refine_every == 0 and step > cfg.warmup_length:
             self._refine(step)
