@@ -15,15 +15,25 @@ from .raster import K, PIX, REC, pallas_rasterize_backward, pallas_rasterize_for
 
 
 def _pack_planes(xys, conics, colors, opac, gauss_ids, c):
-    """Gather per-isect Gaussian data into (16, I) field planes."""
+    """Gather per-isect Gaussian data into (16, I) field planes.
+
+    v5e row-gathers have a fast path for rows of <= 32 bytes: one (C, 8)
+    row gather runs ~7x faster than eight 1-column gathers and ~4x faster
+    than a (C, 16) row gather (measured at 4M isects). So the 9 per-
+    Gaussian fields are packed into an 8-wide table + a 1-plane remainder.
+    """
     g = jnp.minimum(gauss_ids, c - 1)
     i = gauss_ids.shape[0]
+    table8 = jnp.concatenate(
+        [xys, conics, opac[:, None], colors[:, 0:2]], axis=1
+    )  # (C, 8): x, y, A, B, C, opac, r, g
+    tail8 = jnp.concatenate(
+        [colors[:, 2:3], jnp.zeros((c, 7), jnp.float32)], axis=1
+    )  # (C, 8): b, zeros
     return jnp.concatenate(
         [
-            xys[g].T,  # x, y
-            conics[g].T,  # A, B, C
-            opac[g][None, :],
-            colors[g].T,  # r, g, b
+            table8[g].T,  # 8 planes
+            tail8[g].T[:1],  # b plane
             jnp.zeros((REC - 9, i), jnp.float32),
         ],
         axis=0,
@@ -101,11 +111,28 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
         recs, tile_start, tile_end, cot, fidx, tb_x, tb_y, interpret=_interpret()
     )
 
-    gid = gauss_ids  # sentinel C for padding rows -> dropped in the scatter
-    # ONE fused (I, 9) scatter-add: 3x faster than four separate scatters
-    # on v5e (each pays the full index-processing cost)
+    # Per-Gaussian gradient reduction. Two regimes measured on v5e:
+    #   * small/medium streams: ONE fused (I, 9) scatter-add (the
+    #     duplicate-index cost is acceptable and avoids sort overhead);
+    #   * large streams (>= ~2M isects): duplicate-index scatter-add
+    #     serializes (460ms at 4M), so sort by gid (2 operands), 8-wide
+    #     row gathers (the <=32-byte row fast path), then a
+    #     sorted-segment sum (130ms at 4M).
     c = xys.shape[0]
-    acc = jnp.zeros((c, 9), jnp.float32).at[gid].add(grecs[0:9, :].T, mode="drop")
+    i = gauss_ids.shape[0]
+    if i < 2_000_000:
+        acc = jnp.zeros((c, 9), jnp.float32).at[gauss_ids].add(
+            grecs[0:9, :].T, mode="drop"
+        )
+    else:
+        e = jnp.arange(i, dtype=jnp.int32)
+        gs, es = jax.lax.sort((gauss_ids, e), num_keys=1, is_stable=False)
+        tbl_a = grecs[0:8, :].T  # (I, 8): vx, vy, vA, vB, vC, vopac, vr, vg
+        tbl_b = grecs[8:16, :].T  # (I, 8): vb, spare planes
+        planes = jnp.concatenate([tbl_a[es], tbl_b[es][:, :1]], axis=1)
+        acc = jax.ops.segment_sum(
+            planes, gs, num_segments=c + 1, indices_are_sorted=True
+        )[:c]
     v_xys = acc[:, 0:2]
     v_conics = acc[:, 2:5]
     v_opac = acc[:, 5].reshape(opac.shape)
