@@ -54,14 +54,14 @@ _blur_cache = {}
 
 
 def _blur_mats(h: int, w: int):
+    # cache holds NUMPY arrays only: caching jnp arrays created during a
+    # trace would leak tracers across jit boundaries
     key = (h, w)
     if key not in _blur_cache:
         g = _gauss_1d()
-        _blur_cache[key] = (
-            jnp.asarray(_band_matrix(h, g)),
-            jnp.asarray(_band_matrix(w, g)),
-        )
-    return _blur_cache[key]
+        _blur_cache[key] = (_band_matrix(h, g), _band_matrix(w, g))
+    bh, bw = _blur_cache[key]
+    return jnp.asarray(bh), jnp.asarray(bw)
 
 
 def _blur(img: jax.Array, bh: jax.Array, bw: jax.Array) -> jax.Array:
