@@ -82,12 +82,11 @@ def project_gaussians(
     p_view = means @ R_vm.T + t_vm  # (N, 3) camera-space
     z = p_view[:, 2]
 
-    # --- cov3d = M M^T with M = R * glob_scale * diag(scales)
-    R = quat_to_rotmat(quats)  # (N, 3, 3)
-    M = R * (glob_scale * scales)[:, None, :]
-    cov3d = M @ jnp.swapaxes(M, -1, -2)  # (N, 3, 3)
-
-    # --- EWA: cov2d = J W cov3d W^T J^T with FOV-limited tangent point
+    # --- EWA cov2d, fully elementwise over N (no (N,2,3)/(N,3,3) batched
+    # matmuls: XLA's tiny-batched-dot lowering on v5e is ~2x slower than
+    # the expanded scalar math, and the stacks add layout copies).
+    # cov2d = T cov3d T^T = V V^T with V = T M, T = J R_vm,
+    # M = R * glob_scale * diag(scales).
     tan_fovx = 0.5 * img_width / fx
     tan_fovy = 0.5 * img_height / fy
     lim_x = 1.3 * tan_fovx
@@ -98,20 +97,32 @@ def project_gaussians(
     ty = z * jnp.clip(p_view[:, 1] / z_safe, -lim_y, lim_y)
     rz = 1.0 / z_safe
     rz2 = rz * rz
-    zero = jnp.zeros_like(rz)
-    # J rows stacked: (N, 2, 3)
-    J = jnp.stack(
-        [
-            jnp.stack([fx * rz, zero, -fx * tx * rz2], axis=-1),
-            jnp.stack([zero, fy * rz, -fy * ty * rz2], axis=-1),
-        ],
-        axis=-2,
-    )
-    T = J @ R_vm  # (N, 2, 3)
-    cov2d_m = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
-    a = cov2d_m[:, 0, 0] + 0.3
-    b_off = cov2d_m[:, 0, 1]
-    c = cov2d_m[:, 1, 1] + 0.3
+
+    # J = [[fx rz, 0, -fx tx rz^2], [0, fy rz, -fy ty rz^2]]
+    j00 = fx * rz
+    j02 = -fx * tx * rz2
+    j11 = fy * rz
+    j12 = -fy * ty * rz2
+    # T = J @ R_vm: rows from R_vm rows 0/1/2 (R_vm is shared, (3,3))
+    t_row0 = [j00 * R_vm[0, k] + j02 * R_vm[2, k] for k in range(3)]
+    t_row1 = [j11 * R_vm[1, k] + j12 * R_vm[2, k] for k in range(3)]
+
+    R = quat_to_rotmat(quats)  # (N, 3, 3)
+    s_cols = [glob_scale * scales[:, j] for j in range(3)]
+    # V[r, j] = sum_k T[r, k] * M[k, j], M[k, j] = R[:, k, j] * s_j
+    v0 = [
+        (t_row0[0] * R[:, 0, j] + t_row0[1] * R[:, 1, j] + t_row0[2] * R[:, 2, j])
+        * s_cols[j]
+        for j in range(3)
+    ]
+    v1 = [
+        (t_row1[0] * R[:, 0, j] + t_row1[1] * R[:, 1, j] + t_row1[2] * R[:, 2, j])
+        * s_cols[j]
+        for j in range(3)
+    ]
+    a = v0[0] * v0[0] + v0[1] * v0[1] + v0[2] * v0[2] + 0.3
+    b_off = v0[0] * v1[0] + v0[1] * v1[1] + v0[2] * v1[2]
+    c = v1[0] * v1[0] + v1[1] * v1[1] + v1[2] * v1[2] + 0.3
 
     det = a * c - b_off * b_off
     if mode == "cpu":

@@ -65,9 +65,14 @@ def _blur_mats(h: int, w: int):
 
 
 def _blur(img: jax.Array, bh: jax.Array, bw: jax.Array) -> jax.Array:
-    """Separable Gaussian 'same' blur of (H, W, C) via two matmuls."""
-    t = jnp.einsum("ih,hwc->iwc", bh, img)
-    return jnp.einsum("jw,iwc->ijc", bw, t)
+    """Separable Gaussian 'same' blur of (H, W, C) via two matmuls.
+
+    precision=HIGHEST is load-bearing: the TPU default (bf16 passes)
+    corrupts the E[x^2]-E[x]^2 variance estimate enough to flip SSIM-map
+    denominators negative (observed SSIM ~180 on real renders)."""
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("ih,hwc->iwc", bh, img, precision=hi)
+    return jnp.einsum("jw,iwc->ijc", bw, t, precision=hi)
 
 
 @partial(jax.jit, static_argnames=())

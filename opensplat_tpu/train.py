@@ -255,7 +255,7 @@ class Trainer:
         factor = get_downscale_factor(step, cfg)
         h = int(cam.height / factor)
         w = int(cam.width / factor)
-        out = render_forward(
+        return render_image(
             self.state.params,
             self.state.alive,
             jnp.asarray(cam.cam_to_world, jnp.float32),
@@ -266,7 +266,24 @@ class Trainer:
             h,
             w,
             sh_degrees_for_step(step, cfg),
-            jnp.asarray(DEFAULT_BACKGROUND, jnp.float32),
-            renderer=self.renderer,
+            self.renderer,
+            self._budget_for(h, w),
         )
-        return out.rgb
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "sh_deg", "renderer", "isect_budget"),
+)
+def render_image(
+    params, alive, cam_to_world, fx, fy, cx, cy,
+    height: int, width: int, sh_deg: int, renderer: str,
+    isect_budget: int = 0,
+):
+    """Jitted inference render (val images, --val-render, final PSNR)."""
+    out = render_forward(
+        params, alive, cam_to_world, fx, fy, cx, cy, height, width, sh_deg,
+        jnp.asarray(DEFAULT_BACKGROUND, jnp.float32),
+        renderer=renderer, isect_budget=isect_budget,
+    )
+    return out.rgb
