@@ -25,10 +25,11 @@ def main():
     from opensplat_tpu.train import train_step
 
     # synthetic scene sized to exercise the renderer meaningfully
-    n_points = int(os.environ.get("BENCH_POINTS", 16384))
+    n_points = int(os.environ.get("BENCH_POINTS", 131072))
     capacity = n_points
-    h = w = int(os.environ.get("BENCH_RES", 256))
-    renderer = os.environ.get("BENCH_RENDERER", "dense")
+    h = w = int(os.environ.get("BENCH_RES", 512))
+    default_renderer = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    renderer = os.environ.get("BENCH_RENDERER", default_renderer)
 
     rng = np.random.default_rng(0)
     pts = rng.uniform(-1.5, 1.5, (n_points, 3)).astype(np.float32)
