@@ -203,7 +203,12 @@ def main(argv=None) -> int:
             profiling.__enter__()
         outcome = trainer.run_step(step)
         h, w = trainer.last_hw
-        metrics.step(step, outcome.loss, outcome.psnr, outcome.n_alive, h, w)
+        # full metric records force a device sync; skip them in the hot
+        # loop unless the user asked for a metrics file
+        if args.metrics_file or step % display_step == 0:
+            metrics.step(step, outcome.loss, outcome.psnr, outcome.n_alive, h, w)
+        else:
+            metrics.tick(h, w)
         if trainer.refine_metrics is not None:
             metrics.refine(step, trainer.refine_metrics)
             trainer.refine_metrics = None

@@ -106,6 +106,7 @@ def train_step(
         "psnr": psnr(out.rgb, gt_image),
         "n_visible": jnp.sum(out.mask),
         "n_isects": out.n_isects,
+        "n_alive": jnp.sum(new_state.alive),
     }
     return new_state, metrics
 
@@ -130,9 +131,26 @@ class InfiniteRandomSampler:
 
 @dataclass
 class StepOutcome:
-    loss: float
-    psnr: float
-    n_alive: int
+    """Lazy view over the device-side step metrics.
+
+    Reading any property forces a device sync — the CLI only reads at
+    display/metrics cadence, so steady-state steps run without host
+    round-trips (the TPU tunnel makes per-step syncs expensive).
+    """
+
+    _metrics: dict
+
+    @property
+    def loss(self) -> float:
+        return float(self._metrics["loss"])
+
+    @property
+    def psnr(self) -> float:
+        return float(self._metrics["psnr"])
+
+    @property
+    def n_alive(self) -> int:
+        return int(self._metrics["n_alive"])
 
 
 class Trainer:
@@ -196,16 +214,15 @@ class Trainer:
             self.renderer,
             self._budget_for(h, w),
         )
-        self._update_budget(h, w, int(metrics["n_isects"]))
+        # budget feedback needs a host sync; check at a coarse cadence
+        # (warm-up steps + every 10th + refine boundaries cover growth)
+        if step <= 3 or step % 10 == 0 or step % cfg.refine_every == 0:
+            self._update_budget(h, w, int(metrics["n_isects"]))
 
         if step % cfg.refine_every == 0 and step > cfg.warmup_length:
             self._refine(step)
 
-        return StepOutcome(
-            loss=float(metrics["loss"]),
-            psnr=float(metrics["psnr"]),
-            n_alive=int(jnp.sum(self.state.alive)),
-        )
+        return StepOutcome(metrics)
 
     def _refine(self, step: int):
         cfg = self.cfg

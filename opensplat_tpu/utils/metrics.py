@@ -34,11 +34,18 @@ class MetricsLogger:
         self._pixels: deque = deque(maxlen=window)
         self.last_record: Optional[dict] = None
 
-    def step(self, step: int, loss: float, psnr: float, n_alive: int,
-             height: int, width: int, extra: Optional[dict] = None) -> dict:
-        now = time.perf_counter()
-        self._times.append(now)
+    def tick(self, height: int, width: int):
+        """Advance the throughput counters without reading any values
+        (keeps the hot loop free of device syncs)."""
+        self._times.append(time.perf_counter())
         self._pixels.append(height * width)
+
+    def step(self, step: int, loss: float, psnr: float, n_alive: int,
+             height: int, width: int, extra: Optional[dict] = None,
+             tick: bool = True) -> dict:
+        if tick:
+            self._times.append(time.perf_counter())
+            self._pixels.append(height * width)
         rec = {
             "type": "step",
             "step": step,
