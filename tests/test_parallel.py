@@ -75,7 +75,7 @@ def test_batched_d1_matches_single_step():
         np.testing.assert_allclose(
             np.asarray(getattr(new_b.params, name)),
             np.asarray(getattr(new_s.params, name)),
-            rtol=2e-4, atol=1e-6, err_msg=name,
+            rtol=2e-4, atol=5e-6, err_msg=name,
         )
     np.testing.assert_allclose(
         np.asarray(new_b.stats.xys_grad_norm),
