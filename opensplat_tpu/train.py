@@ -35,14 +35,7 @@ def sh_degrees_for_step(step: int, cfg: TrainConfig) -> int:
     return min(step // cfg.sh_degree_interval, cfg.sh_degree)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "height", "width", "sh_deg", "cfg", "accumulate", "renderer",
-        "isect_budget",
-    ),
-)
-def train_step(
+def train_step_impl(
     state: TrainState,
     cam_to_world: jax.Array,
     fx,
@@ -59,6 +52,8 @@ def train_step(
     renderer: str = "dense",
     isect_budget: int = 0,
 ):
+    """Un-jitted train step body — jitted below as train_step; also
+    vmapped over a leading scene axis by parallel.multi_scene."""
     background = jnp.asarray(DEFAULT_BACKGROUND, jnp.float32)
     capacity = state.alive.shape[0]
 
@@ -109,6 +104,15 @@ def train_step(
         "n_alive": jnp.sum(new_state.alive),
     }
     return new_state, metrics
+
+
+train_step = partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "sh_deg", "cfg", "accumulate", "renderer",
+        "isect_budget",
+    ),
+)(train_step_impl)
 
 
 class InfiniteRandomSampler:
