@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write per-step structured metrics (JSONL) here")
     p.add_argument("--profile-dir", default="",
                    help="Capture a jax.profiler device trace into this dir")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="Resume from the newest native checkpoint in "
+                   "--ckpt-dir if one exists (crash/preemption recovery; "
+                   "pair with --checkpoint-every)")
+    p.add_argument("--report-dir", default="",
+                   help="Write a self-contained HTML training report "
+                   "(loss/PSNR/population curves + render-vs-GT snapshots) "
+                   "— the headless stand-in for the reference's visualizer")
     p.add_argument("--version", action="version", version="opensplat_tpu 0.1.0")
     return p
 
@@ -143,6 +151,10 @@ def main(argv=None) -> int:
         ckpt_dir=args.ckpt_dir,
     )
 
+    out_dir = os.path.dirname(cfg.output)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
     input_data = input_data_from_x(project_root, cfg.colmap_image_path)
 
     with ThreadPoolExecutor() as ex:  # parallel image load (opensplat.cpp:124)
@@ -154,20 +166,31 @@ def main(argv=None) -> int:
     if cfg.val_render and not os.path.exists(cfg.val_render):
         os.makedirs(cfg.val_render, exist_ok=True)
 
+    resume_path = cfg.resume
+    if not resume_path and args.auto_resume and cfg.ckpt_dir:
+        import glob
+        import re
+
+        ckpts = glob.glob(os.path.join(cfg.ckpt_dir, "ckpt_*.npz"))
+        if ckpts:
+            resume_path = max(
+                ckpts,
+                key=lambda p: int(re.search(r"ckpt_(\d+)\.npz$", p).group(1)),
+            )
     start_step = 1
-    if cfg.resume:
-        if cfg.resume.endswith(".npz"):
-            state, step0 = load_checkpoint(cfg.resume)
+    if resume_path:
+        if resume_path.endswith(".npz"):
+            state, step0 = load_checkpoint(resume_path)
         else:
             state, step0 = load_ply(
-                cfg.resume,
+                resume_path,
                 keep_crs=cfg.keep_crs,
                 scale=input_data.scale,
                 translation=input_data.translation,
                 capacity=cfg.capacity,
             )
         start_step = step0 + 1
-        print(f"Resuming from {cfg.resume} at step {start_step}")
+        print(f"Resuming from {resume_path} at step {start_step}")
     else:
         state = init_model(
             input_data.points_xyz,
@@ -185,6 +208,11 @@ def main(argv=None) -> int:
     from .utils.metrics import MetricsLogger, profile_trace
 
     metrics = MetricsLogger(args.metrics_file)
+    report = None
+    if args.report_dir:
+        from .utils.report import TrainingReport
+
+        report = TrainingReport(args.report_dir)
 
     def save_intermediate(step):
         stem, ext = os.path.splitext(cfg.output)
@@ -223,6 +251,15 @@ def main(argv=None) -> int:
                 f" [{metrics.steps_per_sec():.2f} steps/s,"
                 f" {outcome.n_alive} gaussians]"
             )
+            if report is not None:
+                report.log(step, outcome.loss, outcome.psnr, outcome.n_alive)
+                snap_every = max(1, cfg.num_iters // 10)
+                if val_cam is not None and (
+                    step % snap_every < display_step or step == cfg.num_iters
+                ):
+                    rgb = np.asarray(trainer.render(val_cam, step))
+                    gt = val_cam.get_image(get_downscale_factor(step, cfg))
+                    report.snapshot(step, rgb, np.asarray(gt))
         if cfg.save_every > 0 and step % cfg.save_every == 0:
             save_intermediate(step)
         if cfg.checkpoint_every > 0 and step % cfg.checkpoint_every == 0:
@@ -238,6 +275,8 @@ def main(argv=None) -> int:
     if profiling is not None:
         profiling.__exit__(None, None, None)
     metrics.close()
+    if report is not None:
+        print(f"Wrote {report.write()}")
     cameras_json = os.path.join(os.path.dirname(cfg.output) or ".", "cameras.json")
     input_data.save_cameras(cameras_json, cfg.keep_crs)
     save_scene(

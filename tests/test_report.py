@@ -1,0 +1,28 @@
+"""Training report (headless visualizer stand-in) tests."""
+import numpy as np
+
+from opensplat_tpu.utils.report import TrainingReport
+
+
+def test_report_html(tmp_path):
+    r = TrainingReport(str(tmp_path))
+    for s in range(10, 110, 10):
+        r.log(s, loss=1.0 / s, psnr=15 + s / 20, n_gaussians=100 + s)
+    img = np.random.default_rng(0).uniform(0, 1, (32, 32, 3))
+    r.snapshot(50, img, img * 0.5)
+    r.snapshot(100, img)
+    path = r.write()
+    content = open(path).read()
+    assert "polyline" in content  # curves rendered
+    assert content.count("data:image/png;base64,") == 3  # 2 renders + 1 gt
+    assert "PSNR" in content and "Gaussians" in content
+
+
+def test_report_snapshot_cap(tmp_path):
+    r = TrainingReport(str(tmp_path), max_snapshots=3)
+    img = np.zeros((8, 8, 3))
+    for s in range(6):
+        r.snapshot(s, img)
+    assert len(r.snapshots) == 3
+    assert r.snapshots[0]["step"] == 0  # first kept
+    assert r.snapshots[-1]["step"] == 5  # latest kept
