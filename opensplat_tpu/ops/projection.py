@@ -191,3 +191,24 @@ def project_gaussians(
         tile_max=jnp.stack([tmax_x, tmax_y], axis=-1),
         mask=mask,
     )
+
+
+def compute_cov2d_bounds(cov2d: jax.Array):
+    """(conics, radii, valid) from packed 2D covariances (N, 3) = (a, b, c).
+
+    Standalone utility matching the reference's compute_cov2d_bounds_tensor
+    (bindings.cu:46-66, helpers.cuh:51-74): conic = inverse covariance,
+    radius = ceil(3 sigma_max) from the eigenvalue bound, valid = det != 0.
+    """
+    a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
+    det = a * c - b * b
+    valid = det != 0.0
+    det_safe = jnp.where(valid, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conics = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+    conics = jnp.where(valid[:, None], conics, 0.0)
+    mid = 0.5 * (a + c)
+    sq = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radii = jnp.ceil(3.0 * jnp.sqrt(mid + sq))
+    radii = jnp.where(valid, radii, 0.0)
+    return conics, radii, valid

@@ -131,7 +131,7 @@ def _forward_scan(xys_s, conics_s, colors_s, opac_s, background, height, width):
     init = (
         jnp.ones((P,), jnp.float32),
         jnp.zeros((P,), bool),
-        jnp.zeros((P, 3), jnp.float32),
+        jnp.zeros((P, colors_s.shape[-1]), jnp.float32),
     )
     (T_final, _done, out), (T_ins, done_ins) = jax.lax.scan(
         partial(_fwd_chunk_step, pjj=pjj, pii=pii), init, chunks
@@ -145,7 +145,10 @@ def _rasterize_sorted(xys_s, conics_s, colors_s, opac_s, background, height, wid
     out, T_final, _, _ = _forward_scan(
         xys_s, conics_s, colors_s, opac_s, background, height, width
     )
-    return out.reshape(height, width, 3), T_final.reshape(height, width)
+    return (
+        out.reshape(height, width, -1),
+        T_final.reshape(height, width),
+    )
 
 
 def _rasterize_sorted_fwd(xys_s, conics_s, colors_s, opac_s, background, height, width):
@@ -153,7 +156,7 @@ def _rasterize_sorted_fwd(xys_s, conics_s, colors_s, opac_s, background, height,
         xys_s, conics_s, colors_s, opac_s, background, height, width
     )
     res = (xys_s, conics_s, colors_s, opac_s, background, T_final, T_ins, done_ins)
-    return (out.reshape(height, width, 3), T_final.reshape(height, width)), res
+    return (out.reshape(height, width, -1), T_final.reshape(height, width)), res
 
 
 def _bwd_chunk_step(carry, chunk, pjj, pii, v_out, v_oa, T_final, bg_dot_vout):
@@ -230,7 +233,8 @@ def _rasterize_sorted_bwd(height, width, res, cotangents):
     n_chunks = xys_s.shape[0] // chunk
     pjj, pii = _pixel_grid(height, width)
     P = height * width
-    v_out = v_img.reshape(P, 3).astype(jnp.float32)
+    ch = colors_s.shape[-1]
+    v_out = v_img.reshape(P, ch).astype(jnp.float32)
     v_oa = v_alpha_img.reshape(P).astype(jnp.float32)
     bg_dot_vout = v_out @ background
 
@@ -247,7 +251,7 @@ def _rasterize_sorted_bwd(height, width, res, cotangents):
         )
     ) + (T_ins, done_ins)
 
-    init = (T_final, jnp.zeros((P, 3), jnp.float32))
+    init = (T_final, jnp.zeros((P, ch), jnp.float32))
     _, (v_xy_c, v_con_c, v_col_c, v_op_c) = jax.lax.scan(
         partial(
             _bwd_chunk_step,
@@ -265,7 +269,7 @@ def _rasterize_sorted_bwd(height, width, res, cotangents):
     n = xys_s.shape[0]
     v_xys = v_xy_c.reshape(n, 2)
     v_conics = v_con_c.reshape(n, 3)
-    v_colors = v_col_c.reshape(n, 3)
+    v_colors = v_col_c.reshape(n, ch)
     v_opac = v_op_c.reshape(n)
     # background gradient: out += T_final * bg  (exact; reference never uses it)
     v_bg = T_final @ v_out
@@ -286,12 +290,15 @@ def rasterize(
     height: int,
     width: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Depth-sort and rasterize N Gaussians to an (H, W, 3) image.
+    """Depth-sort and rasterize N Gaussians to an (H, W, CH) image.
 
+    colors: (N, CH) for any channel count CH — covers both the reference's
+    3-channel fast path and its generic nd_rasterize variant
+    (forward.cu:174-254); background must be (CH,).
     opacities: (N,) or (N,1) post-sigmoid. valid: (N,) bool (alive and
     radii > 0). Differentiable wrt xys, conics, colors, opacities, and
     background with reference-CPU backward semantics.
-    Returns (img(H,W,3), final_T(H,W)).
+    Returns (img(H,W,CH), final_T(H,W)).
     """
     opacities = opacities.reshape(-1)
     key = jnp.where(valid, depths, jnp.inf)
@@ -320,3 +327,9 @@ def rasterize(
         height,
         width,
     )
+
+
+# Generic-channel alias matching the reference's nd_rasterize entry points
+# (forward.cu:174-254, backward.cu:15-129): the dense renderer is already
+# channel-generic.
+nd_rasterize = rasterize

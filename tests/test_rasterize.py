@@ -132,3 +132,57 @@ def test_empty_scene_renders_background():
         np.asarray(img), np.broadcast_to(s["background"], (16, 16, 3)), atol=1e-7
     )
     np.testing.assert_allclose(np.asarray(final_t), np.ones((16, 16)), atol=1e-7)
+
+
+def test_nd_rasterize_generic_channels():
+    """Channels beyond 3 composite independently; first 3 match the RGB
+    render (reference nd_rasterize semantics, forward.cu:174-254)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from opensplat_tpu.ops.rasterize import nd_rasterize, rasterize
+    from tests.scene_utils import make_scene
+    from opensplat_tpu.ops.projection import project_gaussians
+
+    sc = make_scene(n=60, seed=4)
+    pg = project_gaussians(
+        jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]), 1.0,
+        jnp.asarray(sc["quats"]), jnp.asarray(sc["viewmat"]),
+        jnp.asarray(sc["projmat"]), sc["fx"], sc["fy"], sc["cx"], sc["cy"],
+        sc["H"], sc["W"],
+    )
+    rng = np.random.default_rng(0)
+    extra = rng.uniform(0, 1, (60, 2)).astype(np.float32)
+    cols5 = jnp.concatenate([jnp.asarray(sc["colors"]), jnp.asarray(extra)], 1)
+    bg5 = jnp.concatenate([jnp.asarray(sc["background"]), jnp.zeros(2)])
+    img5, ft5 = nd_rasterize(
+        pg.xys, pg.conics, cols5, jnp.asarray(sc["opacities"]), pg.depths,
+        pg.mask, bg5, sc["H"], sc["W"],
+    )
+    img3, ft3 = rasterize(
+        pg.xys, pg.conics, jnp.asarray(sc["colors"]),
+        jnp.asarray(sc["opacities"]), pg.depths, pg.mask,
+        jnp.asarray(sc["background"]), sc["H"], sc["W"],
+    )
+    assert img5.shape == (sc["H"], sc["W"], 5)
+    np.testing.assert_allclose(np.asarray(img5[..., :3]), np.asarray(img3),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ft5), np.asarray(ft3), rtol=1e-6)
+
+
+def test_compute_cov2d_bounds():
+    import jax.numpy as jnp
+    import numpy as np
+    from opensplat_tpu.ops.projection import compute_cov2d_bounds
+
+    cov2d = jnp.asarray([[2.0, 0.3, 1.5], [1.0, 0.0, 1.0], [1.0, 1.0, 1.0]])
+    conics, radii, valid = compute_cov2d_bounds(cov2d)
+    assert bool(valid[0]) and bool(valid[1])
+    assert not bool(valid[2])  # det == 0
+    det = 2.0 * 1.5 - 0.09
+    np.testing.assert_allclose(
+        np.asarray(conics[0]), [1.5 / det, -0.3 / det, 2.0 / det], rtol=1e-6
+    )
+    # (1,0,1): det=1, mid=1, sq=sqrt(clamp(0.1, mid^2-det)) -> vmax=1+sqrt(0.1)
+    expect = np.ceil(3.0 * np.sqrt(1.0 + np.sqrt(0.1)))
+    np.testing.assert_allclose(float(radii[1]), expect, rtol=1e-6)
+    assert float(radii[2]) == 0.0
