@@ -40,15 +40,21 @@ def _pack_planes(xys, conics, colors, opac, gauss_ids, c):
     )
 
 
+# backward reduction strategy switch: below this isect count a fused
+# scatter-add wins; above it the sort+cumsum+boundary-gather path does
+# (see _rasterize_pallas_bwd). Module-level so tests can force either.
+SEGSUM_SORT_THRESHOLD = 2_000_000
+
+
 def _interpret() -> bool:
     import jax as _jax
 
     return _jax.default_backend() != "tpu"
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _rasterize_pallas_binned(xys, conics, colors, opac, background,
-                             gauss_ids, bins, height, width):
+                             gauss_ids, bins, isect_counts, height, width):
     (img, final_t), _ = _pallas_fwd_impl(
         xys, conics, colors, opac, background, gauss_ids, bins, height, width
     )
@@ -80,16 +86,18 @@ def _pallas_fwd_impl(xys, conics, colors, opac, background, gauss_ids, bins,
 
 
 def _rasterize_pallas_fwd(xys, conics, colors, opac, background,
-                          gauss_ids, bins, height, width):
+                          gauss_ids, bins, isect_counts, height, width):
     (img, final_t), (recs, fidx, T_t) = _pallas_fwd_impl(
         xys, conics, colors, opac, background, gauss_ids, bins, height, width
     )
-    res = (xys, conics, colors, opac, background, gauss_ids, bins, recs, fidx, T_t)
+    res = (xys, conics, colors, opac, background, gauss_ids, bins,
+           isect_counts, recs, fidx, T_t)
     return (img, final_t), res
 
 
 def _rasterize_pallas_bwd(height, width, res, cotangents):
-    (xys, conics, colors, opac, background, gauss_ids, bins, recs, fidx, T_t) = res
+    (xys, conics, colors, opac, background, gauss_ids, bins,
+     isect_counts, recs, fidx, T_t) = res
     tile_start, tile_end = bins
     v_img, v_ft = cotangents
     tb_x, tb_y = num_tiles(height, width)
@@ -120,19 +128,40 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
     #     sorted-segment sum (130ms at 4M).
     c = xys.shape[0]
     i = gauss_ids.shape[0]
-    if i < 2_000_000:
+    if i < SEGSUM_SORT_THRESHOLD:
         acc = jnp.zeros((c, 9), jnp.float32).at[gauss_ids].add(
             grecs[0:9, :].T, mode="drop"
         )
     else:
+        # Segment reduction with NO scatter and NO big searchsorted (on
+        # v5e a duplicate-index scatter costs ~64ms PER COLUMN at 8.5M
+        # rows, and an I-sized searchsorted is log(I) such gathers).
+        # After sorting by gid, gaussian g's run occupies
+        # [cum[g]-cnt[g], cum[g]) where cnt comes from the forward
+        # binning (isect_counts == num_tiles_hit). So: gid sort,
+        # 8-wide row gathers (<=32-byte fast path), column cumsum
+        # (log-depth tree scan), two C-row boundary gathers.
+        # Caveat: exact only when the stream did not overflow the budget
+        # (overflow already degrades the forward identically and the
+        # budget feedback regrows next step).
         e = jnp.arange(i, dtype=jnp.int32)
         gs, es = jax.lax.sort((gauss_ids, e), num_keys=1, is_stable=False)
         tbl_a = grecs[0:8, :].T  # (I, 8): vx, vy, vA, vB, vC, vopac, vr, vg
         tbl_b = grecs[8:16, :].T  # (I, 8): vb, spare planes
-        planes = jnp.concatenate([tbl_a[es], tbl_b[es][:, :1]], axis=1)
-        acc = jax.ops.segment_sum(
-            planes, gs, num_segments=c + 1, indices_are_sorted=True
-        )[:c]
+        cnt = isect_counts.astype(jnp.int32)
+        ends_g = jnp.minimum(jnp.cumsum(cnt), i)
+        starts_g = jnp.minimum(ends_g - cnt, i)
+        cs8 = jnp.cumsum(tbl_a[es], axis=0)  # (I, 8)
+        cs1 = jnp.cumsum(tbl_b[es][:, 0])  # (I,)
+        end8 = jnp.where(ends_g[:, None] > 0,
+                         cs8[jnp.maximum(ends_g - 1, 0)], 0.0)
+        start8 = jnp.where(starts_g[:, None] > 0,
+                           cs8[jnp.maximum(starts_g - 1, 0)], 0.0)
+        end1 = jnp.where(ends_g > 0, cs1[jnp.maximum(ends_g - 1, 0)], 0.0)
+        start1 = jnp.where(starts_g > 0, cs1[jnp.maximum(starts_g - 1, 0)], 0.0)
+        acc = jnp.concatenate(
+            [end8 - start8, (end1 - start1)[:, None]], axis=1
+        )
     v_xys = acc[:, 0:2]
     v_conics = acc[:, 2:5]
     v_opac = acc[:, 5].reshape(opac.shape)
@@ -140,7 +169,7 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
 
     T_final_img = _tiles_to_image(T_t, tb_x, tb_y, height, width)
     v_bg = jnp.einsum("hw,hwc->c", T_final_img, v_img.astype(jnp.float32))
-    return v_xys, v_conics, v_colors, v_opac, v_bg, None, None
+    return v_xys, v_conics, v_colors, v_opac, v_bg, None, None, None
 
 
 _rasterize_pallas_binned.defvjp(_rasterize_pallas_fwd, _rasterize_pallas_bwd)
@@ -192,5 +221,6 @@ def rasterize_pallas(
     binned = bin_gaussians(proj_like, height, width, max_isects, align=K)
     return _rasterize_pallas_binned(
         xys, conics, colors, opacities, background.astype(jnp.float32),
-        binned.gauss_ids, (binned.tile_start, binned.tile_end), height, width,
+        binned.gauss_ids, (binned.tile_start, binned.tile_end),
+        num_tiles_hit, height, width,
     )

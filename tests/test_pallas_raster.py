@@ -67,3 +67,44 @@ def test_pallas_empty_scene():
         atol=1e-6,
     )
     np.testing.assert_allclose(np.asarray(ft), 1.0, atol=1e-7)
+
+
+def test_backward_reduction_paths_agree(monkeypatch):
+    """The sort+cumsum large-stream reduction must produce the same
+    gradients as the small-stream scatter-add path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import opensplat_tpu.ops.pallas.integration as integ
+    from opensplat_tpu.ops.projection import project_gaussians
+    from tests.scene_utils import make_scene
+
+    sc = make_scene(n=200, seed=9)
+    pg = project_gaussians(
+        jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]), 1.0,
+        jnp.asarray(sc["quats"]), jnp.asarray(sc["viewmat"]),
+        jnp.asarray(sc["projmat"]), sc["fx"], sc["fy"], sc["cx"], sc["cy"],
+        sc["H"], sc["W"],
+    )
+
+    def loss(xys, conics, colors, opac):
+        img, ft = integ.rasterize_pallas(
+            xys, conics, colors, opac, pg.depths, pg.radii,
+            pg.num_tiles_hit, pg.tile_min, pg.tile_max,
+            jnp.asarray(sc["background"]), sc["H"], sc["W"],
+        )
+        return jnp.sum(img ** 2) + jnp.sum(ft)
+
+    args = (pg.xys, pg.conics, jnp.asarray(sc["colors"]),
+            jnp.asarray(sc["opacities"]))
+    g_scatter = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    monkeypatch.setattr(integ, "SEGSUM_SORT_THRESHOLD", 0)
+    g_sorted = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_scatter, g_sorted):
+        # the two paths sum contributions in different orders; with heavy
+        # cancellation the error scales with the LARGEST contribution, so
+        # compare against the tensor's own gradient magnitude
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
