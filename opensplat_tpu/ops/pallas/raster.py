@@ -33,9 +33,14 @@ the CUDA kernel's final_index (forward.cu:367-377); the backward replays
 back-to-front recovering T by division exactly like backward.cu:300-302,
 with the reference's 0.99 alpha-clamp quirk (backward.cu:272).
 
-Field planes (row -> meaning): 0 x, 1 y, 2 conic A, 3 conic B, 4 conic C,
-5 opacity, 6..8 rgb, 9..15 zero. Gradient planes: 0 v_x, 1 v_y,
-2..4 v_conic, 5 v_opacity, 6..8 v_rgb.
+Input field planes (8 rows — one <=32-byte gather per record outside, and
+half the DMA of a 16-plane layout): 0 x, 1 y, 2 conic A, 3 conic B,
+4 conic C, 5 opacity, 6 rgb packed as 3x10-bit fixed point (scale 1023/4,
+range [0, 4], bitcast into the f32 plane; top two bits zero so the
+pattern is never NaN/Inf), 7 zero. Color quantization step is 1/256 —
+a ~57 dB PSNR ceiling, far above scene-reconstruction PSNR.
+Gradient planes (16 rows): 0 v_x, 1 v_y, 2..4 v_conic, 5 v_opacity,
+6..8 v_rgb.
 """
 from __future__ import annotations
 
@@ -51,7 +56,9 @@ from ..rasterize import ALPHA_THRESH, BWD_ALPHA_CLAMP, FWD_ALPHA_CLAMP, T_EPS
 
 K = 128  # isects per chunk (lane dim)
 PIX = BLOCK_X * BLOCK_Y  # 256 pixels per tile (sublane dim)
-REC = 16  # field planes
+REC_IN = 8  # input record planes (packed colors)
+REC = 16  # gradient record planes
+COLOR_SCALE = 1023.0 / 4.0  # 10-bit fixed point over [0, 4]
 _BIG = 2**30  # python int: jnp scalars would be captured consts in kernels
 
 
@@ -74,14 +81,19 @@ def _pixel_coords(t, tb_x):
 
 
 def _chunk_fields(buf):
-    """(16, K) record planes -> per-field (1, K) rows."""
+    """(8, K) packed record planes -> per-field (1, K) rows."""
     x = buf[0:1, :]
     y = buf[1:2, :]
     A = buf[2:3, :]
     B = buf[3:4, :]
     C = buf[4:5, :]
     op = buf[5:6, :]
-    col = buf[6:9, :]  # (3, K)
+    bits = jax.lax.bitcast_convert_type(buf[6:7, :], jnp.int32)
+    inv = 1.0 / COLOR_SCALE
+    col_r = ((bits >> 20) & 0x3FF).astype(jnp.float32) * inv
+    col_g = ((bits >> 10) & 0x3FF).astype(jnp.float32) * inv
+    col_b = (bits & 0x3FF).astype(jnp.float32) * inv
+    col = jnp.concatenate([col_r, col_g, col_b], axis=0)  # (3, K)
     return x, y, A, B, C, op, col
 
 
@@ -160,7 +172,7 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
 @functools.partial(jax.jit, static_argnames=("tb_x", "tb_y", "interpret"))
 def pallas_rasterize_forward(recs, tile_start, tile_end, tb_x: int, tb_y: int,
                              interpret: bool = False):
-    """recs: (16, I) field planes, tile ranges 128-aligned.
+    """recs: (8, I) packed field planes, tile ranges 128-aligned.
     Returns (acc (T, 8, 256) rows [r,g,b,T,0..], fidx (T, 1, 256) int32)."""
     n_tiles = tb_x * tb_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -172,7 +184,7 @@ def pallas_rasterize_forward(recs, tile_start, tile_end, tb_x: int, tb_y: int,
             pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((REC, K), jnp.float32),
+            pltpu.VMEM((REC_IN, K), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.VMEM((PIX, 1), jnp.int32),
             pltpu.SemaphoreType.DMA,
@@ -316,7 +328,7 @@ def pallas_rasterize_backward(recs, tile_start, tile_end, cot, fidx,
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((REC, K), jnp.float32),
+            pltpu.VMEM((REC_IN, K), jnp.float32),
             pltpu.VMEM((REC, K), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA,

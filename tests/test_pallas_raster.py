@@ -31,7 +31,10 @@ def test_pallas_forward_matches_tiled():
     s, args, common = _setup()
     img_t, ft_t = rasterize_tiled(*args, *common)
     img_p, ft_p = rasterize_pallas(*args, *common)
-    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t), atol=1e-5)
+    # colors ride the records as 10-bit fixed point (step 1/256): the
+    # image may deviate by up to one quantization step; transmittance
+    # only depends on opacity/conics which stay exact f32
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t), atol=4e-3)
     np.testing.assert_allclose(np.asarray(ft_p), np.asarray(ft_t), atol=1e-5)
 
 
@@ -51,7 +54,9 @@ def test_pallas_backward_matches_tiled():
     for name, a, b in zip(names, g_p, g_t):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-12
-        np.testing.assert_allclose(a, b, atol=1e-3 * scale, rtol=1e-3,
+        # v_alpha mixes in the (quantized) colors, so position/shape
+        # gradients inherit the 1/256 color quantization scale
+        np.testing.assert_allclose(a, b, atol=4e-3 * scale, rtol=4e-3,
                                    err_msg=name)
 
 
