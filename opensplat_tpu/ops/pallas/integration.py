@@ -143,12 +143,12 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
         e = jnp.arange(i, dtype=jnp.int32)
         gs, es = jax.lax.sort((gauss_ids, e), num_keys=1, is_stable=False)
         tbl_a = grecs[0:8, :].T  # (I, 8): vx, vy, vA, vB, vC, vopac, vr, vg
-        tbl_b = grecs[8:16, :].T  # (I, 8): vb, spare planes
         cnt = isect_counts.astype(jnp.int32)
         ends_g = jnp.minimum(jnp.cumsum(cnt), i)
         starts_g = jnp.minimum(ends_g - cnt, i)
         cs8 = jnp.cumsum(tbl_a[es], axis=0)  # (I, 8)
-        cs1 = jnp.cumsum(tbl_b[es][:, 0])  # (I,)
+        cs1 = jnp.cumsum(grecs[8, :][es])  # v_b via a 1-wide gather (the
+        # 8-wide fetch of the mostly-zero tail table cost 2x more)
         end8 = jnp.where(ends_g[:, None] > 0,
                          cs8[jnp.maximum(ends_g - 1, 0)], 0.0)
         start8 = jnp.where(starts_g[:, None] > 0,
