@@ -11,7 +11,8 @@ import jax.numpy as jnp
 from ..binning import bin_gaussians, num_tiles
 from ..projection import ProjectedGaussians
 from ..rasterize_tiled import _image_to_tiles, _tiles_to_image
-from .raster import COLOR_SCALE, K, PIX, REC, pallas_rasterize_backward, pallas_rasterize_forward
+from .raster import (COLOR_SCALE, K, PIX, pallas_rasterize_backward,
+                     pallas_rasterize_forward, unpack_bf16_pair)
 
 
 def _pack_planes(xys, conics, colors, opac, gauss_ids, c):
@@ -125,8 +126,13 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
     c = xys.shape[0]
     i = gauss_ids.shape[0]
     if i < SEGSUM_SORT_THRESHOLD:
+        v_r, v_g = unpack_bf16_pair(grecs[6, :])
+        planes9 = jnp.concatenate(
+            [grecs[0:6, :].T, v_r[:, None], v_g[:, None], grecs[7, :][:, None]],
+            axis=1,
+        )
         acc = jnp.zeros((c, 9), jnp.float32).at[gauss_ids].add(
-            grecs[0:9, :].T, mode="drop"
+            planes9, mode="drop"
         )
     else:
         # Segment reduction with NO scatter and NO big searchsorted (on
@@ -142,13 +148,20 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
         # budget feedback regrows next step).
         e = jnp.arange(i, dtype=jnp.int32)
         gs, es = jax.lax.sort((gauss_ids, e), num_keys=1, is_stable=False)
-        tbl_a = grecs[0:8, :].T  # (I, 8): vx, vy, vA, vB, vC, vopac, vr, vg
+        # ONE (I, 8) gather brings every gradient field (v_r|v_g ride as
+        # a bf16 pair); unpack after the gather, before the cumsums
+        sorted8 = grecs[0:8, :].T[es]  # (I, 8)
+        v_r, v_g = unpack_bf16_pair(sorted8[:, 6])
         cnt = isect_counts.astype(jnp.int32)
         ends_g = jnp.minimum(jnp.cumsum(cnt), i)
         starts_g = jnp.minimum(ends_g - cnt, i)
-        cs8 = jnp.cumsum(tbl_a[es], axis=0)  # (I, 8)
-        cs1 = jnp.cumsum(grecs[8, :][es])  # v_b via a 1-wide gather (the
-        # 8-wide fetch of the mostly-zero tail table cost 2x more)
+        cs8 = jnp.cumsum(
+            jnp.concatenate(
+                [sorted8[:, 0:6], v_r[:, None], v_g[:, None]], axis=1
+            ),
+            axis=0,
+        )  # (I, 8): vx, vy, vA, vB, vC, vopac, vr, vg
+        cs1 = jnp.cumsum(sorted8[:, 7])  # v_b
         end8 = jnp.where(ends_g[:, None] > 0,
                          cs8[jnp.maximum(ends_g - 1, 0)], 0.0)
         start8 = jnp.where(starts_g[:, None] > 0,

@@ -39,8 +39,11 @@ half the DMA of a 16-plane layout): 0 x, 1 y, 2 conic A, 3 conic B,
 range [0, 4], bitcast into the f32 plane; top two bits zero so the
 pattern is never NaN/Inf), 7 zero. Color quantization step is 1/256 —
 a ~57 dB PSNR ceiling, far above scene-reconstruction PSNR.
-Gradient planes (16 rows): 0 v_x, 1 v_y, 2..4 v_conic, 5 v_opacity,
-6..8 v_rgb.
+Gradient planes (8 rows): 0 v_x, 1 v_y, 2..4 v_conic, 5 v_opacity,
+6 (v_r | v_g) as a bf16 pair bitcast into the f32 plane (finite grads
+never form NaN/Inf patterns; ~0.4% relative color-gradient precision),
+7 v_b. One 8-plane record per isect keeps the outside reduction to a
+single <=32-byte-row gather and halves the kernel's output DMA.
 """
 from __future__ import annotations
 
@@ -57,8 +60,26 @@ from ..rasterize import ALPHA_THRESH, BWD_ALPHA_CLAMP, FWD_ALPHA_CLAMP, T_EPS
 K = 128  # isects per chunk (lane dim)
 PIX = BLOCK_X * BLOCK_Y  # 256 pixels per tile (sublane dim)
 REC_IN = 8  # input record planes (packed colors)
-REC = 16  # gradient record planes
+REC = 8  # gradient record planes (v_r|v_g packed as bf16 pair)
 COLOR_SCALE = 1023.0 / 4.0  # 10-bit fixed point over [0, 4]
+
+
+def pack_bf16_pair(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Two f32 vectors -> one f32 plane carrying (bf16(hi) | bf16(lo)).
+    Round-to-nearest-even on both halves."""
+    bh = jax.lax.bitcast_convert_type(hi, jnp.int32)
+    bl = jax.lax.bitcast_convert_type(lo, jnp.int32)
+    rh = (bh + 0x7FFF + ((bh >> 16) & 1)) & jnp.int32(-65536)
+    rl = (bl + 0x7FFF + ((bl >> 16) & 1)) >> 16
+    return jax.lax.bitcast_convert_type(rh | (rl & 0xFFFF), jnp.float32)
+
+
+def unpack_bf16_pair(packed: jax.Array):
+    """Inverse of pack_bf16_pair -> (hi_f32, lo_f32)."""
+    bits = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+    return hi, lo
 _BIG = 2**30  # python int: jnp scalars would be captured consts in kernels
 
 
@@ -287,9 +308,9 @@ def _bwd_kernel(
         g_r = psum(fac * v_r)
         g_g = psum(fac * v_g)
         g_b = psum(fac * v_b)
-        zeros = jnp.zeros((REC - 9, K), jnp.float32)
+        g_rg = pack_bf16_pair(g_r, g_g)
         grec = jnp.concatenate(
-            [g_x, g_y, g_A, g_B, g_C, g_op, g_r, g_g, g_b, zeros], axis=0
+            [g_x, g_y, g_A, g_B, g_C, g_op, g_rg, g_b], axis=0
         )
         gbuf[:, :] = grec
         odma = pltpu.make_async_copy(gbuf, grads_hbm.at[:, pl.ds(base, K)], gsem)
