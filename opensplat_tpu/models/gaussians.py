@@ -88,6 +88,15 @@ def init_model(
     if capacity is None:
         capacity = round_capacity(int(n * capacity_mult), capacity_round)
     assert capacity >= n, f"capacity {capacity} < point count {n}"
+    # Morton-order the points: spatially-nearby Gaussians become
+    # memory-adjacent, making per-isect record gathers index-coherent
+    # (~2x faster on v5e, PERF.md). Pure storage permutation — the
+    # particle set is order-free.
+    from ..ops.tensor_math import morton_order
+
+    perm = morton_order(points_xyz)
+    points_xyz = points_xyz[perm]
+    points_rgb = points_rgb[perm]
     c = capacity
     dim_sh = num_sh_bases(sh_degree)
 

@@ -99,3 +99,32 @@ def rodrigues_to_rotation(rodrigues: np.ndarray) -> np.ndarray:
     return (c * np.eye(3, dtype=np.float32) + (1.0 - c) * rrT + np.sin(theta) * K).astype(
         np.float32
     )
+
+
+def _part1by2_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64) & 0x3FF
+    x = (x | (x << 16)) & np.uint64(0x30000FF)
+    x = (x | (x << 8)) & np.uint64(0x300F00F)
+    x = (x | (x << 4)) & np.uint64(0x30C30C3)
+    x = (x | (x << 2)) & np.uint64(0x9249249)
+    return x
+
+
+def morton_order(points: np.ndarray) -> np.ndarray:
+    """Permutation sorting points along a 3D Morton (Z-order) curve.
+
+    Spatially-nearby Gaussians become memory-adjacent, which makes the
+    per-intersection record gathers index-coherent — measured ~2x faster
+    than random order on v5e (PERF.md). Host-side numpy; used at model
+    init and by the jitted refine-time reorder's oracle tests.
+    """
+    lo = points.min(axis=0)
+    span = points.max(axis=0) - lo
+    span[span == 0] = 1.0
+    q = np.clip((points - lo) / span * 1023.0, 0, 1023).astype(np.uint32)
+    key = (
+        _part1by2_np(q[:, 0])
+        | (_part1by2_np(q[:, 1]) << 1)
+        | (_part1by2_np(q[:, 2]) << 2)
+    )
+    return np.argsort(key, kind="stable")
