@@ -105,8 +105,8 @@ def test_training_converges_with_refine():
 
     start = np.mean(losses[:5])
     end = np.mean(losses[-5:])
-        # 0.65: trajectory shifts slightly with storage order (Morton init)
-        assert end < 0.65 * start, f"did not converge: {start} -> {end}"
+    # 0.65: trajectory shifts slightly with storage order (Morton init)
+    assert end < 0.65 * start, f"did not converge: {start} -> {end}"
     # densification ran (steps 126..: beyond 120 not reached; check refine
     # machinery was exercised by alive-count bookkeeping)
     assert trainer.refine_metrics is not None
