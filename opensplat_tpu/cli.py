@@ -118,7 +118,9 @@ def main(argv=None) -> int:
     from .train import Trainer, get_downscale_factor
 
     print(f"Using {jax.default_backend().upper()}")
-    display_step = 10
+    # loss print cadence: every 10 steps on an accelerator, every step on
+    # CPU (opensplat.cpp:102-113)
+    display_step = 10 if jax.default_backend() != "cpu" else 1
 
     cfg = TrainConfig(
         input=project_root,
