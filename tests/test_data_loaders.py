@@ -315,3 +315,46 @@ def test_openmvg_loader(tmp_path):
 def test_dispatch_errors(tmp_path):
     with pytest.raises(RuntimeError, match="Invalid project folder"):
         input_data_from_x(str(tmp_path))
+
+
+def test_camera_load_image_undistort(tmp_path):
+    """load_image: rescale intrinsics to actual dims, undistort with ROI
+    crop, update K (input_data.cpp:104-152 semantics)."""
+    import cv2
+
+    from opensplat_tpu.data.dataset import Camera
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+    p = str(tmp_path / "img.png")
+    cv2.imwrite(p, img)
+
+    cam = Camera(width=320, height=240, fx=300.0, fy=300.0, cx=160.0,
+                 cy=120.0, k1=-0.2, k2=0.05, file_path=p)
+    cam.load_image()
+    # intrinsics rescaled by actual/declared = 0.5, then modified by
+    # getOptimalNewCameraMatrix
+    assert cam.image is not None
+    assert cam.image.dtype == np.float32
+    assert 0.0 <= cam.image.min() and cam.image.max() <= 1.0
+    # ROI crop shrinks or keeps dims; intrinsics consistent with new dims
+    assert cam.height == cam.image.shape[0]
+    assert cam.width == cam.image.shape[1]
+    assert cam.fx != 300.0  # rescaled + optimal-matrix adjusted
+    # second call must fail (destructive-once, like the reference cache)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        cam.load_image()
+
+
+def test_camera_pyramid_cache(tmp_path):
+    from opensplat_tpu.data.dataset import Camera
+
+    cam = Camera(width=64, height=48, fx=50, fy=50, cx=32, cy=24)
+    rng = np.random.default_rng(1)
+    cam.set_image(rng.uniform(0, 1, (48, 64, 3)).astype(np.float32))
+    half = cam.get_image(2)
+    assert half.shape == (24, 32, 3)
+    assert cam.get_image(2) is half  # cached
+    assert cam.get_image(1).shape == (48, 64, 3)
