@@ -19,6 +19,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from opensplat_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
     from opensplat_tpu.config import TrainConfig
     from opensplat_tpu.models.gaussians import init_model
     from opensplat_tpu.optim.adam import means_lr_schedule

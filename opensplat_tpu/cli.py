@@ -87,6 +87,27 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: training touches a handful of
+    (resolution, capacity, budget) shapes, each a 20-60s TPU compile;
+    caching makes restarts and resumed runs start in seconds. Override
+    dir with OPENSPLAT_TPU_CACHE; disable with OPENSPLAT_TPU_CACHE=0."""
+    import jax
+
+    cache = os.environ.get(
+        "OPENSPLAT_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "opensplat_tpu_xla"),
+    )
+    if cache == "0":
+        return
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only fs: run without the cache
+
+
 def pick_renderer(choice: str) -> str:
     if choice != "auto":
         return choice
@@ -109,6 +130,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax
     import numpy as np
+
+    _enable_compilation_cache()
 
     from .config import TrainConfig
     from .data.dataset import input_data_from_x

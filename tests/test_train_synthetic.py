@@ -126,3 +126,39 @@ def test_schedules():
     assert sh_degrees_for_step(1, cfg) == 0
     assert sh_degrees_for_step(1000, cfg) == 1
     assert sh_degrees_for_step(5000, cfg) == 3
+
+
+def test_budget_hysteresis():
+    """Adaptive isect budgets: set on first observation, grow on
+    overflow, shrink only past the hysteresis band (bounded recompiles)."""
+    from opensplat_tpu.config import TrainConfig
+    from opensplat_tpu.train import Trainer
+
+    tr = Trainer.__new__(Trainer)  # no device work needed
+    tr.renderer = "pallas"
+    tr._isect_budgets = {}
+    B = Trainer._BUDGET_BUCKET
+
+    tr._update_budget(64, 64, 500_000)
+    first = tr._budget_for(64, 64)
+    assert first >= int(500_000 * 1.3)
+    assert first % B == 0
+
+    # small fluctuation: no change
+    tr._update_budget(64, 64, 480_000)
+    assert tr._budget_for(64, 64) == first
+
+    # overflow: grow
+    tr._update_budget(64, 64, first + 1)
+    assert tr._budget_for(64, 64) > first
+
+    # massive shrink: allowed to come back down
+    tr._update_budget(64, 64, 50_000)
+    assert tr._budget_for(64, 64) < first
+
+    # dense renderer never budgets
+    tr2 = Trainer.__new__(Trainer)
+    tr2.renderer = "dense"
+    tr2._isect_budgets = {}
+    tr2._update_budget(64, 64, 100_000)
+    assert tr2._budget_for(64, 64) == 0
