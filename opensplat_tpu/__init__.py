@@ -17,3 +17,13 @@ Layer map (mirrors SURVEY.md §1 of the reference, re-architected):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences without import-time jax cost
+    if name in ("ops", "models", "train", "data", "io", "parallel", "optim",
+                "utils", "gsplat_compat"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
