@@ -224,14 +224,14 @@ def pallas_rasterize_forward(recs, tile_start, tile_end, tb_x: int, tb_y: int,
 
 
 def _bwd_kernel(
-    start_ref, end_ref, recs_hbm, cot_ref, fidx_ref, grads_hbm,
+    start_ref, end_ref, recs_hbm, cot_ref, fidx_ref, zeros_hbm, grads_hbm,
     buf, gbuf, state, sem, gsem, *, tb_x,
 ):
+    del zeros_hbm  # aliased with grads_hbm; only the alias matters
     # state (PIX, 8): col 0 = T_run, cols 1:4 = buffer rgb
     t = pl.program_id(0)
     start = start_ref[t]
     count = end_ref[t] - start
-    n_chunks = pl.cdiv(count, K)
     px, py = _pixel_coords(t, tb_x)
     _, M_sfx_incl, M_sfx_excl = _cum_matrices()
 
@@ -243,6 +243,15 @@ def _bwd_kernel(
     T_final = cot[:, 4:5]
     bg_dot = cot[:, 5:6]
     fidx = fidx_ref[0, :, :].reshape(PIX, 1)
+
+    # early skip, the analogue of the CUDA warp_bin_final trick
+    # (backward.cu:196-253): records at global index >= fidx never
+    # composited, so chunks past the tile's last contributing record
+    # need no replay. Their gradient slots stay zero thanks to the
+    # zero-initialized, input-output-aliased output buffer.
+    eff = jnp.where(fidx >= _BIG, count, fidx - start)  # (PIX, 1)
+    max_eff = jnp.max(eff)
+    n_chunks = pl.cdiv(jnp.minimum(max_eff, count), K)
 
     state[:, :] = jnp.zeros((PIX, 8), jnp.float32)
     state[:, 0:1] = T_final
@@ -346,6 +355,7 @@ def pallas_rasterize_backward(recs, tile_start, tile_end, cot, fidx,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         scratch_shapes=[
@@ -356,11 +366,15 @@ def pallas_rasterize_backward(recs, tile_start, tile_end, cot, fidx,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    zeros_out = jnp.zeros((REC, n_recs), jnp.float32)
     grads = pl.pallas_call(
         functools.partial(_bwd_kernel, tb_x=tb_x),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((REC, n_recs), jnp.float32)],
+        # the zeros input aliases the output: chunks skipped by the
+        # early-exit replay keep zero gradients
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_start, tile_end, recs, cot, fidx)
+    )(tile_start, tile_end, recs, cot, fidx, zeros_out)
     return grads[0]
