@@ -58,11 +58,12 @@ def main():
     # warmup/compile; then adopt the adaptive isect budget like the Trainer
     state, m = train_step(state, **args)
     jax.block_until_ready(m["loss"])
-    if renderer in ("tiled", "pallas") and int(m["n_isects"]) > 0:
+    if renderer in ("tiled", "pallas") and int(m["n_cands"]) > 0:
         bucket = 131072
-        args["isect_budget"] = (
-            (int(int(m["n_isects"]) * 1.3) + bucket - 1) // bucket * bucket
-        )
+        fit = lambda d: (int(int(d) * 1.3) + bucket - 1) // bucket * bucket
+        args["isect_budget"] = fit(m["n_cands"])
+        if int(m["n_isects"]) > 0:
+            args["layout_budget"] = fit(m["n_isects"])
         state, m = train_step(state, **args)
         jax.block_until_ready(m["loss"])
 

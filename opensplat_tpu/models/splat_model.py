@@ -31,7 +31,8 @@ class RenderOutputs(NamedTuple):
     mask: jax.Array  # (C,) bool visible
     xys: jax.Array  # (C, 2)
     depths: jax.Array  # (C,)
-    n_isects: jax.Array  # () int32 padded isect count (0 for dense renderer)
+    n_isects: jax.Array  # () int32 layout-buffer demand (0 for dense)
+    n_cands: jax.Array  # () int32 candidate-expansion demand (0 for dense)
 
 
 def render_forward(
@@ -49,6 +50,7 @@ def render_forward(
     xys_shift: Optional[jax.Array] = None,
     renderer: str = "dense",
     isect_budget: int = 0,
+    layout_budget: int = 0,
 ) -> RenderOutputs:
     viewmat, full_proj, cam_pos = camera_matrices(cam_to_world, fx, fy, width, height)
 
@@ -67,6 +69,9 @@ def render_forward(
         width,
         mode="gpu",
         valid_mask=alive,
+        # opacity-aware tile bboxes (binning only; radii/mask keep the
+        # reference 3-sigma semantics — see project_gaussians)
+        opacities=jax.lax.stop_gradient(jax.nn.sigmoid(params.opacities)),
     )
     xys = proj.xys if xys_shift is None else proj.xys + xys_shift
 
@@ -82,6 +87,21 @@ def render_forward(
     rgbs = jnp.maximum(rgbs + 0.5, 0.0)  # model.cpp:192
 
     n_isects = jnp.zeros((), jnp.int32)
+    n_cands = jnp.zeros((), jnp.int32)
+    raster_args = (
+        xys,
+        proj.conics,
+        rgbs,
+        jax.nn.sigmoid(params.opacities),
+        proj.depths,
+        proj.radii,
+        proj.num_tiles_hit,
+        proj.tile_min,
+        proj.tile_max,
+        background,
+        height,
+        width,
+    )
     if renderer == "dense":
         rgb, final_t = rasterize(
             xys,
@@ -94,33 +114,24 @@ def render_forward(
             height,
             width,
         )
-    elif renderer in ("tiled", "pallas"):
-        if renderer == "tiled":
-            from ..ops.rasterize_tiled import rasterize_tiled as _raster
-            from ..ops.binning import count_isects
+    elif renderer == "tiled":
+        from ..ops.rasterize_tiled import rasterize_tiled
+        from ..ops.binning import count_isects
 
-            _, n_isects = count_isects(proj, height, width, align=1)
-        else:
-            from ..ops.pallas.integration import rasterize_pallas as _raster
-            from ..ops.binning import count_isects
-            from ..ops.pallas.raster import K as _K
+        _, n_isects = count_isects(proj, height, width, align=1)
+        n_cands = n_isects
+        rgb, final_t = rasterize_tiled(*raster_args, max_isects=isect_budget)
+    elif renderer == "pallas":
+        from ..ops.pallas.integration import rasterize_pallas
 
-            _, n_isects = count_isects(proj, height, width, align=_K)
+        # candidate-expansion demand (exact even under overflow); the
+        # post-cull layout demand comes back from the binning itself
+        from ..ops.binning import count_isects
 
-        rgb, final_t = _raster(
-            xys,
-            proj.conics,
-            rgbs,
-            jax.nn.sigmoid(params.opacities),
-            proj.depths,
-            proj.radii,
-            proj.num_tiles_hit,
-            proj.tile_min,
-            proj.tile_max,
-            background,
-            height,
-            width,
-            max_isects=isect_budget,
+        _, n_cands = count_isects(proj, height, width, align=1)
+        rgb, final_t, n_isects = rasterize_pallas(
+            *raster_args, max_isects=isect_budget, layout_isects=layout_budget,
+            return_isects=True,
         )
     else:
         raise ValueError(f"unknown renderer {renderer!r}")
@@ -134,4 +145,5 @@ def render_forward(
         xys=xys,
         depths=proj.depths,
         n_isects=n_isects,
+        n_cands=n_cands,
     )

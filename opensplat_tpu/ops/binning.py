@@ -33,6 +33,7 @@ can detect this and re-run with a larger bucket (never silent).
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -42,12 +43,13 @@ from .projection import BLOCK_X, BLOCK_Y, ProjectedGaussians
 
 
 class BinnedGaussians(NamedTuple):
-    gauss_ids: jax.Array  # (I,) int32 sorted by (tile, depth); C = invalid
-    tile_ids: jax.Array  # (I,) int32; num_tiles = invalid
+    gauss_ids: jax.Array  # (L,) int32 sorted by (tile, depth); C = invalid
+    tile_ids: jax.Array  # (L,) int32; num_tiles = invalid
     tile_start: jax.Array  # (T,) int32
     tile_end: jax.Array  # (T,) int32
-    n_isects: jax.Array  # () int32 true intersection count (may exceed I)
-    valid: jax.Array  # (I,) bool
+    n_isects: jax.Array  # () int32 true intersection count (may exceed L)
+    valid: jax.Array  # (L,) bool
+    isect_counts: jax.Array  # (C,) int32 per-Gaussian emitted-isect counts
 
 
 def num_tiles(height: int, width: int):
@@ -66,6 +68,47 @@ def _ffill_deltas(values: jax.Array, positions: jax.Array, size: int) -> jax.Arr
     deltas = values - prev
     arr = jnp.zeros((size,), values.dtype).at[positions].add(deltas, mode="drop")
     return jnp.cumsum(arr)
+
+
+def _ffill_f32(values: jax.Array, positions: jax.Array, size: int) -> jax.Array:
+    """Segmented broadcast of float32 per-segment values: bitcast to int32
+    (deltas telescope exactly in modular int32 arithmetic), delta-scatter +
+    cumsum, bitcast back."""
+    bits = jax.lax.bitcast_convert_type(values.astype(jnp.float32), jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        _ffill_deltas(bits, positions, size), jnp.float32
+    )
+
+
+def _min_sigma_over_tile(mx, my, A, B, C, tx, ty):
+    """Exact minimum of the Gaussian exponent sigma(p) = 0.5*(A dx^2 +
+    C dy^2) + B dx dy (dx = mx - px, dy = my - py; the rasterizer's
+    convention, forward.cu:340-342) over the tile's pixel-coordinate
+    rectangle px in [tx*BX, tx*BX + BX-1], py likewise. Convex quadratic
+    over a rectangle: zero if the mean lies inside, else the min over the
+    four edges (each a clamped 1D quadratic)."""
+    dhi_x = mx - tx.astype(jnp.float32) * float(BLOCK_X)
+    dlo_x = dhi_x - float(BLOCK_X - 1)
+    dhi_y = my - ty.astype(jnp.float32) * float(BLOCK_Y)
+    dlo_y = dhi_y - float(BLOCK_Y - 1)
+    inside = (dlo_x <= 0.0) & (dhi_x >= 0.0) & (dlo_y <= 0.0) & (dhi_y >= 0.0)
+
+    def q(dx, dy):
+        return 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy
+
+    def edge_x(xe):  # dx fixed at xe, minimize over dy
+        dy = jnp.clip(-B * xe / jnp.maximum(C, 1e-12), dlo_y, dhi_y)
+        return q(xe, dy)
+
+    def edge_y(ye):
+        dx = jnp.clip(-B * ye / jnp.maximum(A, 1e-12), dlo_x, dhi_x)
+        return q(dx, ye)
+
+    m = jnp.minimum(
+        jnp.minimum(edge_x(dlo_x), edge_x(dhi_x)),
+        jnp.minimum(edge_y(dlo_y), edge_y(dhi_y)),
+    )
+    return jnp.where(inside, 0.0, m)
 
 
 def count_isects(
@@ -100,15 +143,32 @@ def bin_gaussians(
     width: int,
     max_isects: int,
     align: int = 1,
+    opacities: jax.Array | None = None,
+    layout_size: int | None = None,
+    alpha_thresh: float | None = None,
 ) -> BinnedGaussians:
     """align > 1 pads every tile's range to a multiple of `align` entries
     (gid sentinel = C for padding) so the Pallas kernel can DMA
     lane-aligned chunks; tile_end still marks the true end of real
     entries. n_isects reports the total INCLUDING alignment padding so
-    budget feedback accounts for it."""
+    budget feedback accounts for it.
+
+    When `opacities` is given, (gaussian, tile) pairs whose maximum alpha
+    anywhere in the tile provably stays below `alpha_thresh` are culled —
+    the rasterizer would skip every one of their pixels anyway (the
+    alpha >= 1/255 test, forward.cu:343-345), so the output is
+    unchanged while the emitted stream shrinks ~30-50% vs the reference's
+    tile-bbox binning (forward.cu:87-94 counts full bboxes). The cull
+    test is the exact minimum of the Gaussian exponent over the tile
+    rectangle (convex QP, closed form). `layout_size` then sizes the
+    OUTPUT buffers separately from the candidate-expansion budget
+    `max_isects`, so all downstream per-isect work runs at the culled
+    size. isect_counts returns the per-Gaussian emitted counts (the
+    culled replacement for num_tiles_hit in segment reductions)."""
     tb_x, tb_y = num_tiles(height, width)
     n_tiles = tb_x * tb_y
     c = proj.num_tiles_hit.shape[0]
+    out_size = max_isects if layout_size is None else layout_size
 
     cnt = proj.num_tiles_hit
     cum = jnp.cumsum(cnt)  # (C,)
@@ -136,9 +196,41 @@ def bin_gaussians(
     bw = packed_f & 0x7FF
     tx = (packed_f >> 21) + off % bw
     ty = ((packed_f >> 11) & 0x3FF) + off // bw
-    tile_id = jnp.where(in_range, ty * tb_x + tx, n_tiles).astype(jnp.int32)
-    depth_bits = jnp.where(in_range, depth_f, jnp.iinfo(jnp.int32).max)
-    gid = jnp.where(in_range, gid_f, c).astype(jnp.int32)
+
+    if opacities is not None:
+        # exact tile-ellipse cull: keep only pairs that can reach
+        # alpha_thresh somewhere in the tile (see docstring)
+        mx = _ffill_f32(proj.xys[:, 0], starts, max_isects)
+        my = _ffill_f32(proj.xys[:, 1], starts, max_isects)
+        cA = _ffill_f32(proj.conics[:, 0], starts, max_isects)
+        cB = _ffill_f32(proj.conics[:, 1], starts, max_isects)
+        cC = _ffill_f32(proj.conics[:, 2], starts, max_isects)
+        op = _ffill_f32(opacities.reshape(-1), starts, max_isects)
+        min_sigma = _min_sigma_over_tile(mx, my, cA, cB, cC, tx, ty)
+        log_op = jnp.log(jnp.maximum(op, 1e-12))
+        # keep if op * exp(-min_sigma) could reach the threshold (small
+        # margin keeps borderline pairs — conservative, never drops a
+        # contributor)
+        reachable = log_op - min_sigma >= math.log(alpha_thresh) - 1e-6
+        keep = in_range & reachable
+    else:
+        keep = in_range
+
+    tile_id = jnp.where(keep, ty * tb_x + tx, n_tiles).astype(jnp.int32)
+    depth_bits = jnp.where(keep, depth_f, jnp.iinfo(jnp.int32).max)
+    gid = jnp.where(keep, gid_f, c).astype(jnp.int32)
+
+    if opacities is not None:
+        # per-Gaussian emitted counts: the candidate stream is g-major
+        # contiguous, so one cumsum of keep flags + two C-row boundary
+        # gathers (no scatter, no searchsorted)
+        kcum = jnp.cumsum(keep.astype(jnp.int32))
+        def at(pos):
+            p = jnp.minimum(pos, max_isects)
+            return jnp.where(p > 0, kcum[jnp.maximum(p - 1, 0)], 0)
+        isect_counts = (at(cum) - at(starts)).astype(jnp.int32)
+    else:
+        isect_counts = proj.num_tiles_hit.astype(jnp.int32)
 
     tile_sorted, _, gid_sorted = jax.lax.sort(
         (tile_id, depth_bits, gid), num_keys=2, is_stable=True
@@ -150,14 +242,15 @@ def bin_gaussians(
     tile_start = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
 
-    if align == 1:
+    if align == 1 and layout_size is None:
         return BinnedGaussians(
             gauss_ids=gid_sorted,
             tile_ids=tile_sorted,
             tile_start=tile_start,
             tile_end=tile_end,
-            n_isects=total,
+            n_isects=total if opacities is None else jnp.sum(isect_counts),
             valid=tile_sorted < n_tiles,
+            isect_counts=isect_counts,
         )
 
     # re-layout with per-tile alignment padding
@@ -183,24 +276,25 @@ def bin_gaussians(
     new_pos = jnp.where(
         tile_sorted < n_tiles,
         padded_start_f + pos_in_tile,
-        max_isects,  # dropped
+        out_size,  # dropped
     )
-    gid_padded = jnp.full((max_isects,), c, jnp.int32).at[new_pos].set(
+    gid_padded = jnp.full((out_size,), c, jnp.int32).at[new_pos].set(
         gid_sorted, mode="drop"
     )
     # padded slots keep their tile id so the stream stays tile-contiguous:
     # scatter tile index at padded starts (monotone), forward-fill
     slot_tile = jax.lax.cummax(
-        jnp.zeros((max_isects,), jnp.int32)
-        .at[jnp.minimum(padded_start, max_isects)]
+        jnp.zeros((out_size,), jnp.int32)
+        .at[jnp.minimum(padded_start, out_size)]
         .max(jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")
     )
-    tile_padded = jnp.where(e < padded_total, slot_tile, n_tiles)
+    e_out = jnp.arange(out_size, dtype=jnp.int32)
+    tile_padded = jnp.where(e_out < padded_total, slot_tile, n_tiles)
 
     # clamp ranges into the budget (overflow tail is dropped, n_isects
     # still reports the true padded total for host feedback)
-    start_cl = jnp.minimum(padded_start, max_isects).astype(jnp.int32)
-    end_cl = jnp.minimum(padded_start + counts, max_isects).astype(jnp.int32)
+    start_cl = jnp.minimum(padded_start, out_size).astype(jnp.int32)
+    end_cl = jnp.minimum(padded_start + counts, out_size).astype(jnp.int32)
 
     return BinnedGaussians(
         gauss_ids=gid_padded,
@@ -209,4 +303,5 @@ def bin_gaussians(
         tile_end=end_cl,
         n_isects=padded_total,
         valid=gid_padded < c,
+        isect_counts=isect_counts,
     )

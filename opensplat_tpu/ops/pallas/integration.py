@@ -42,6 +42,12 @@ def _pack_planes(xys, conics, colors, opac, gauss_ids, c):
 # (see _rasterize_pallas_bwd). Module-level so tests can force either.
 SEGSUM_SORT_THRESHOLD = 2_000_000
 
+# exact tile-ellipse culling pays for its 6 extra stream cumsums only on
+# large candidate streams (measured v5e: -1.5% at ~0.8M, +20% at ~8.5M);
+# below this candidate budget binning skips the cull. Module-level so
+# tests can force either path.
+CULL_MIN_CANDIDATES = 2_000_000
+
 
 def _interpret() -> bool:
     import jax as _jax
@@ -198,11 +204,21 @@ def rasterize_pallas(
     height: int,
     width: int,
     max_isects: int = 0,
-) -> Tuple[jax.Array, jax.Array]:
-    """Pallas TPU rasterization; same contract as rasterize_tiled().
+    layout_isects: int = 0,
+    return_isects: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Pallas TPU rasterization; rasterize_tiled() contract. With
+    return_isects a third output is appended: the kept padded isect
+    total (layout-budget feedback).
 
-    The intersection budget must absorb per-tile 128-alignment padding:
-    sized from feedback via bin_gaussians(...).n_isects."""
+    Two static budgets: `max_isects` sizes the candidate expansion/sort
+    stream (tile-bbox pairs, fed back from count_isects), `layout_isects`
+    sizes the post-cull 128-aligned layout buffer every downstream
+    per-isect stage runs at (fed back from the third return). The exact
+    tile-ellipse cull in binning typically drops 30-50% of bbox pairs
+    with bit-identical output (see bin_gaussians)."""
+    from ..rasterize import ALPHA_THRESH
+
     opacities = opacities.reshape(-1)
     c = xys.shape[0]
     tb_x, tb_y = num_tiles(height, width)
@@ -211,9 +227,10 @@ def rasterize_pallas(
     floor_budget = K * tb_x * tb_y + 8 * c
     if max_isects <= 0:
         max_isects = floor_budget
-    else:
-        max_isects = max(max_isects, K * tb_x * tb_y)
-    max_isects = ((max_isects + K - 1) // K) * K
+    if layout_isects <= 0:
+        layout_isects = min(max_isects, floor_budget)
+    layout_isects = max(layout_isects, K * tb_x * tb_y)
+    layout_isects = ((layout_isects + K - 1) // K) * K
 
     proj_like = ProjectedGaussians(
         xys=jax.lax.stop_gradient(xys),
@@ -227,9 +244,17 @@ def rasterize_pallas(
         tile_max=tile_max,
         mask=radii > 0,
     )
-    binned = bin_gaussians(proj_like, height, width, max_isects, align=K)
-    return _rasterize_pallas_binned(
+    use_cull = max_isects >= CULL_MIN_CANDIDATES
+    binned = bin_gaussians(
+        proj_like, height, width, max_isects, align=K,
+        opacities=jax.lax.stop_gradient(opacities) if use_cull else None,
+        layout_size=layout_isects, alpha_thresh=ALPHA_THRESH,
+    )
+    img, final_t = _rasterize_pallas_binned(
         xys, conics, colors, opacities, background.astype(jnp.float32),
         binned.gauss_ids, (binned.tile_start, binned.tile_end),
-        num_tiles_hit, height, width,
+        binned.isect_counts, height, width,
     )
+    if return_isects:
+        return img, final_t, binned.n_isects
+    return img, final_t

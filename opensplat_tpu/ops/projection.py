@@ -64,6 +64,8 @@ def project_gaussians(
     clip_thresh: float = 0.01,
     mode: str = "gpu",
     valid_mask: Optional[jax.Array] = None,
+    opacities: Optional[jax.Array] = None,
+    alpha_thresh: float = 1.0 / 255.0,
 ) -> ProjectedGaussians:
     """Project N 3D Gaussians to 2D screen space.
 
@@ -161,18 +163,49 @@ def project_gaussians(
     tb_y = (img_height + BLOCK_Y - 1) // BLOCK_Y
     tcx = u / BLOCK_X
     tcy = v / BLOCK_Y
-    trx = radius_f / BLOCK_X
-    try_ = radius_f / BLOCK_Y
-    # (int) cast truncates; negative values clamp to 0 either way
-    tmin_x = jnp.clip((tcx - trx).astype(jnp.int32), 0, tb_x)
-    tmax_x = jnp.clip((tcx + trx + 1.0).astype(jnp.int32), 0, tb_x)
-    tmin_y = jnp.clip((tcy - try_).astype(jnp.int32), 0, tb_y)
-    tmax_y = jnp.clip((tcy + try_ + 1.0).astype(jnp.int32), 0, tb_y)
+
+    # Opacity-aware bbox radius (binning only — `radii` stays the
+    # reference's 3-sigma value, helpers.cuh:51-74, so visibility and
+    # densify stats keep exact parity): pixels with |d| >
+    # sqrt(2 ln(op/alpha_thresh) lambda_max) can never reach the
+    # rasterizer's alpha >= alpha_thresh test (forward.cu:343-345), so
+    # the tile bbox needs only that radius. At op=0.1 this is 2.55 sigma
+    # vs 3 sigma — a ~28% smaller bbox area; the emitted intersection
+    # stream shrinks with identical output. +1 px absorbs f32 rounding.
+    if opacities is not None:
+        s_max = jnp.log(
+            jnp.maximum(opacities.reshape(-1), 1e-12) / alpha_thresh
+        )
+        r_alpha = jnp.sqrt(2.0 * jnp.maximum(s_max, 0.0) * v_max) + 1.0
+        bbox_radius = jnp.where(
+            s_max > 0.0, jnp.minimum(radius_f, jnp.ceil(r_alpha)), 0.0
+        )
+    else:
+        bbox_radius = radius_f
+
+    def tile_bbox(r):
+        trx = r / BLOCK_X
+        try_ = r / BLOCK_Y
+        # (int) cast truncates; negative values clamp to 0 either way
+        tmin_x = jnp.clip((tcx - trx).astype(jnp.int32), 0, tb_x)
+        tmax_x = jnp.clip((tcx + trx + 1.0).astype(jnp.int32), 0, tb_x)
+        tmin_y = jnp.clip((tcy - try_).astype(jnp.int32), 0, tb_y)
+        tmax_y = jnp.clip((tcy + try_ + 1.0).astype(jnp.int32), 0, tb_y)
+        return tmin_x, tmax_x, tmin_y, tmax_y
+
+    tmin_x, tmax_x, tmin_y, tmax_y = tile_bbox(bbox_radius)
     tile_area = (tmax_x - tmin_x) * (tmax_y - tmin_y)
+    if opacities is None:
+        vis_area = tile_area
+    else:
+        # visibility gate uses the reference's 3-sigma bbox so `mask`
+        # and `radii` are unchanged by the opacity-aware tightening
+        v0, v1, v2, v3 = tile_bbox(radius_f)
+        vis_area = (v1 - v0) * (v3 - v2)
 
     mask = jnp.ones((n,), bool)
     if mode == "gpu":
-        mask = mask & (z > clip_thresh) & det_ok & (tile_area > 0)
+        mask = mask & (z > clip_thresh) & det_ok & (vis_area > 0)
     if valid_mask is not None:
         mask = mask & valid_mask
 

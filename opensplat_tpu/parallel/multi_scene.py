@@ -31,7 +31,7 @@ def unstack_states(stacked: TrainState, n: int):
     jax.jit,
     static_argnames=(
         "height", "width", "sh_deg", "cfg", "accumulate", "renderer",
-        "isect_budget",
+        "isect_budget", "layout_budget",
     ),
 )
 def multi_scene_train_step(
@@ -50,11 +50,13 @@ def multi_scene_train_step(
     accumulate: bool,
     renderer: str = "dense",
     isect_budget: int = 0,
+    layout_budget: int = 0,
 ):
     def one(state, c2w, fx_, fy_, cx_, cy_, gt):
         return train_step_impl(
             state, c2w, fx_, fy_, cx_, cy_, gt, means_lr,
             height, width, sh_deg, cfg, accumulate, renderer, isect_budget,
+            layout_budget,
         )
 
     return jax.vmap(one)(states, cam_to_world, fx, fy, cx, cy, gt_images)

@@ -51,6 +51,7 @@ def train_step_impl(
     accumulate: bool,
     renderer: str = "dense",
     isect_budget: int = 0,
+    layout_budget: int = 0,
 ):
     """Un-jitted train step body — jitted below as train_step; also
     vmapped over a leading scene axis by parallel.multi_scene."""
@@ -73,6 +74,7 @@ def train_step_impl(
             xys_shift=xys_shift,
             renderer=renderer,
             isect_budget=isect_budget,
+            layout_budget=layout_budget,
         )
         loss = main_loss(out.rgb, gt_image, cfg.ssim_weight)
         return loss, out
@@ -101,6 +103,7 @@ def train_step_impl(
         "psnr": psnr(out.rgb, gt_image),
         "n_visible": jnp.sum(out.mask),
         "n_isects": out.n_isects,
+        "n_cands": out.n_cands,
         "n_alive": jnp.sum(new_state.alive),
     }
     return new_state, metrics
@@ -110,7 +113,7 @@ train_step = partial(
     jax.jit,
     static_argnames=(
         "height", "width", "sh_deg", "cfg", "accumulate", "renderer",
-        "isect_budget",
+        "isect_budget", "layout_budget",
     ),
 )(train_step_impl)
 
@@ -176,17 +179,27 @@ class Trainer:
 
     _BUDGET_BUCKET = 131072
 
-    def _budget_for(self, h: int, w: int) -> int:
-        return self._isect_budgets.get((h, w), 0)  # 0 = renderer default
+    def _budget_for(self, h: int, w: int) -> tuple:
+        # (expansion budget, layout budget); 0 = renderer default
+        return self._isect_budgets.get((h, w), (0, 0))
 
-    def _update_budget(self, h: int, w: int, n_isects: int):
-        if self.renderer not in ("tiled", "pallas") or n_isects <= 0:
+    def _update_budget(self, h: int, w: int, n_cands: int, n_isects: int):
+        if self.renderer not in ("tiled", "pallas"):
             return
-        cur = self._isect_budgets.get((h, w), 0)
-        want = ((int(n_isects * 1.3) + self._BUDGET_BUCKET - 1)
-                // self._BUDGET_BUCKET) * self._BUDGET_BUCKET
-        if cur == 0 or n_isects > cur or want < cur * 0.6:
-            self._isect_budgets[(h, w)] = max(want, n_isects)
+        cur = self._isect_budgets.get((h, w), (0, 0))
+
+        def fit(demand: int, current: int) -> int:
+            if demand <= 0:
+                return current
+            want = ((int(demand * 1.3) + self._BUDGET_BUCKET - 1)
+                    // self._BUDGET_BUCKET) * self._BUDGET_BUCKET
+            if current == 0 or demand > current or want < current * 0.6:
+                return max(want, demand)
+            return current
+
+        new = (fit(n_cands, cur[0]), fit(n_isects, cur[1]))
+        if new != cur:
+            self._isect_budgets[(h, w)] = new
 
     def run_step(self, step: int) -> StepOutcome:
         cfg = self.cfg
@@ -216,12 +229,14 @@ class Trainer:
             cfg,
             accumulate,
             self.renderer,
-            self._budget_for(h, w),
+            *self._budget_for(h, w),
         )
         # budget feedback needs a host sync; check at a coarse cadence
         # (warm-up steps + every 10th + refine boundaries cover growth)
         if step <= 3 or step % 10 == 0 or step % cfg.refine_every == 0:
-            self._update_budget(h, w, int(metrics["n_isects"]))
+            self._update_budget(
+                h, w, int(metrics["n_cands"]), int(metrics["n_isects"])
+            )
 
         if step % cfg.refine_every == 0 and step > cfg.warmup_length:
             self._refine(step)
@@ -288,23 +303,27 @@ class Trainer:
             w,
             sh_degrees_for_step(step, cfg),
             self.renderer,
-            self._budget_for(h, w),
+            *self._budget_for(h, w),
         )
 
 
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "sh_deg", "renderer", "isect_budget"),
+    static_argnames=(
+        "height", "width", "sh_deg", "renderer", "isect_budget",
+        "layout_budget",
+    ),
 )
 def render_image(
     params, alive, cam_to_world, fx, fy, cx, cy,
     height: int, width: int, sh_deg: int, renderer: str,
-    isect_budget: int = 0,
+    isect_budget: int = 0, layout_budget: int = 0,
 ):
     """Jitted inference render (val images, --val-render, final PSNR)."""
     out = render_forward(
         params, alive, cam_to_world, fx, fy, cx, cy, height, width, sh_deg,
         jnp.asarray(DEFAULT_BACKGROUND, jnp.float32),
         renderer=renderer, isect_budget=isect_budget,
+        layout_budget=layout_budget,
     )
     return out.rgb

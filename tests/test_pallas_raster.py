@@ -113,3 +113,33 @@ def test_backward_reduction_paths_agree(monkeypatch):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-6)
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
+
+
+def test_pallas_with_cull_matches_tiled(monkeypatch):
+    """Force the exact tile-ellipse cull on (normally gated to large
+    candidate budgets) and check the full pallas path still matches the
+    tiled renderer."""
+    import opensplat_tpu.ops.pallas.integration as integ
+
+    monkeypatch.setattr(integ, "CULL_MIN_CANDIDATES", 0)
+    s, args, common = _setup(n=150, seed=5)
+    img_t, ft_t = rasterize_tiled(*args, *common)
+    img_p, ft_p = integ.rasterize_pallas(*args, *common)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t), atol=4e-3)
+    np.testing.assert_allclose(np.asarray(ft_p), np.asarray(ft_t), atol=1e-5)
+
+    rng = np.random.default_rng(0)
+    vi = jnp.asarray(rng.normal(size=(s["H"], s["W"], 3)).astype(np.float32))
+    vt = jnp.asarray(rng.normal(size=(s["H"], s["W"])).astype(np.float32))
+
+    def grads(f):
+        _, vjp = jax.vjp(lambda a, b, c, d: f(a, b, c, d, *common), *args)
+        return vjp((vi, vt))
+
+    g_t = grads(rasterize_tiled)
+    g_p = grads(integ.rasterize_pallas)
+    for name, a, b in zip(["xys", "conics", "colors", "opac"], g_p, g_t):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a, b, atol=4e-3 * scale, rtol=4e-3,
+                                   err_msg=name)

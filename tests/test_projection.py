@@ -99,3 +99,47 @@ def test_projection_valid_mask():
         valid_mask=jnp.asarray(alive),
     )
     assert (np.asarray(out.radii)[~alive] == 0).all()
+
+
+def test_opacity_aware_bbox_is_subset_and_render_identical():
+    """Opacity-aware tile bboxes must (a) leave radii/mask untouched,
+    (b) shrink (never grow) the bbox, and (c) keep the tiled render
+    unchanged up to fp summation reordering — dropped tiles can never
+    pass the alpha >= 1/255 test (forward.cu:343-345), but removing
+    their no-op records shifts chunk boundaries."""
+    from opensplat_tpu.ops.rasterize_tiled import rasterize_tiled
+
+    s = make_scene(n=200, seed=13)
+    rng = np.random.default_rng(5)
+    opac = rng.uniform(0.005, 0.6, (200,)).astype(np.float32)
+    args = (
+        jnp.asarray(s["means"]), jnp.asarray(s["scales"]), 1.0,
+        jnp.asarray(s["quats"]), jnp.asarray(s["viewmat"]),
+        jnp.asarray(s["projmat"]), s["fx"], s["fy"], s["cx"], s["cy"],
+        s["H"], s["W"],
+    )
+    base = project_gaussians(*args, mode="gpu")
+    tight = project_gaussians(*args, mode="gpu", opacities=jnp.asarray(opac))
+
+    np.testing.assert_array_equal(np.asarray(base.radii), np.asarray(tight.radii))
+    np.testing.assert_array_equal(np.asarray(base.mask), np.asarray(tight.mask))
+    assert (np.asarray(tight.tile_min) >= np.asarray(base.tile_min)).all()
+    assert (np.asarray(tight.tile_max) <= np.asarray(base.tile_max)).all()
+    assert (
+        np.asarray(tight.num_tiles_hit).sum()
+        < np.asarray(base.num_tiles_hit).sum()
+    )
+
+    def render(proj):
+        img, ft = rasterize_tiled(
+            proj.xys, proj.conics, jnp.asarray(s["colors"]),
+            jnp.asarray(opac), proj.depths, proj.radii,
+            proj.num_tiles_hit, proj.tile_min, proj.tile_max,
+            jnp.asarray(s["background"]), s["H"], s["W"],
+        )
+        return np.asarray(img), np.asarray(ft)
+
+    img_b, ft_b = render(base)
+    img_t, ft_t = render(tight)
+    np.testing.assert_allclose(img_t, img_b, atol=1e-5)
+    np.testing.assert_allclose(ft_t, ft_b, atol=1e-5)

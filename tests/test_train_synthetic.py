@@ -139,26 +139,29 @@ def test_budget_hysteresis():
     tr._isect_budgets = {}
     B = Trainer._BUDGET_BUCKET
 
-    tr._update_budget(64, 64, 500_000)
+    tr._update_budget(64, 64, 500_000, 400_000)
     first = tr._budget_for(64, 64)
-    assert first >= int(500_000 * 1.3)
-    assert first % B == 0
+    assert first[0] >= int(500_000 * 1.3)
+    assert first[1] >= int(400_000 * 1.3)
+    assert first[0] % B == 0 and first[1] % B == 0
 
     # small fluctuation: no change
-    tr._update_budget(64, 64, 480_000)
+    tr._update_budget(64, 64, 480_000, 390_000)
     assert tr._budget_for(64, 64) == first
 
-    # overflow: grow
-    tr._update_budget(64, 64, first + 1)
-    assert tr._budget_for(64, 64) > first
+    # overflow: grow (each budget independently)
+    tr._update_budget(64, 64, first[0] + 1, first[1] + 1)
+    grown = tr._budget_for(64, 64)
+    assert grown[0] > first[0] and grown[1] > first[1]
 
     # massive shrink: allowed to come back down
-    tr._update_budget(64, 64, 50_000)
-    assert tr._budget_for(64, 64) < first
+    tr._update_budget(64, 64, 50_000, 40_000)
+    shrunk = tr._budget_for(64, 64)
+    assert shrunk[0] < first[0] and shrunk[1] < first[1]
 
     # dense renderer never budgets
     tr2 = Trainer.__new__(Trainer)
     tr2.renderer = "dense"
     tr2._isect_budgets = {}
-    tr2._update_budget(64, 64, 100_000)
-    assert tr2._budget_for(64, 64) == 0
+    tr2._update_budget(64, 64, 100_000, 100_000)
+    assert tr2._budget_for(64, 64) == (0, 0)
