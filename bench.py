@@ -60,7 +60,7 @@ def main():
     jax.block_until_ready(m["loss"])
     if renderer in ("tiled", "pallas") and int(m["n_cands"]) > 0:
         bucket = 131072
-        fit = lambda d: (int(int(d) * 1.3) + bucket - 1) // bucket * bucket
+        fit = lambda d: (int(int(d) * 1.15) + bucket - 1) // bucket * bucket
         args["isect_budget"] = fit(m["n_cands"])
         if int(m["n_isects"]) > 0:
             args["layout_budget"] = fit(m["n_isects"])

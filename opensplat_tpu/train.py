@@ -178,6 +178,10 @@ class Trainer:
         self._isect_budgets: dict = {}
 
     _BUDGET_BUCKET = 131072
+    # headroom over observed demand; 1.15 measured better than 1.3 on v5e
+    # (all per-isect stages scale with the budget; overflows only cost a
+    # recompile at the next bucket)
+    _BUDGET_MARGIN = 1.15
 
     def _budget_for(self, h: int, w: int) -> tuple:
         # (expansion budget, layout budget); 0 = renderer default
@@ -191,7 +195,7 @@ class Trainer:
         def fit(demand: int, current: int) -> int:
             if demand <= 0:
                 return current
-            want = ((int(demand * 1.3) + self._BUDGET_BUCKET - 1)
+            want = ((int(demand * self._BUDGET_MARGIN) + self._BUDGET_BUCKET - 1)
                     // self._BUDGET_BUCKET) * self._BUDGET_BUCKET
             if current == 0 or demand > current or want < current * 0.6:
                 return max(want, demand)

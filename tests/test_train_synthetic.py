@@ -139,10 +139,11 @@ def test_budget_hysteresis():
     tr._isect_budgets = {}
     B = Trainer._BUDGET_BUCKET
 
+    m = Trainer._BUDGET_MARGIN
     tr._update_budget(64, 64, 500_000, 400_000)
     first = tr._budget_for(64, 64)
-    assert first[0] >= int(500_000 * 1.3)
-    assert first[1] >= int(400_000 * 1.3)
+    assert first[0] >= int(500_000 * m)
+    assert first[1] >= int(400_000 * m)
     assert first[0] % B == 0 and first[1] % B == 0
 
     # small fluctuation: no change
