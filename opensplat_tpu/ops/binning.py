@@ -33,7 +33,6 @@ can detect this and re-run with a larger bucket (never silent).
 """
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax
@@ -81,12 +80,18 @@ def _ffill_f32(values: jax.Array, positions: jax.Array, size: int) -> jax.Array:
 
 
 def _min_sigma_over_tile(mx, my, A, B, C, tx, ty):
-    """Exact minimum of the Gaussian exponent sigma(p) = 0.5*(A dx^2 +
-    C dy^2) + B dx dy (dx = mx - px, dy = my - py; the rasterizer's
-    convention, forward.cu:340-342) over the tile's pixel-coordinate
-    rectangle px in [tx*BX, tx*BX + BX-1], py likewise. Convex quadratic
-    over a rectangle: zero if the mean lies inside, else the min over the
-    four edges (each a clamped 1D quadratic)."""
+    """Conservative lower bound of the Gaussian exponent sigma(p) =
+    0.5*(A dx^2 + C dy^2) + B dx dy (dx = mx - px, dy = my - py; the
+    rasterizer's convention, forward.cu:340-342) over the tile's
+    pixel-coordinate rectangle px in [tx*BX, tx*BX + BX-1], py likewise.
+    Convex quadratic over a rectangle: zero if the mean lies inside,
+    else the min over the four edges (each a clamped 1D quadratic).
+
+    A, B, C may be bf16-rounded (delta <= 2^-8 relative): since
+    |B dx dy| <= 0.5*(A dx^2 + C dy^2) for any PSD conic, the perturbed
+    quadratic deviates from the true one by at most 2*delta*S where
+    S = 0.5*(A dx^2 + C dy^2); the returned bound subtracts
+    2.1*delta*S_corner (S maximized over the rect corners)."""
     dhi_x = mx - tx.astype(jnp.float32) * float(BLOCK_X)
     dlo_x = dhi_x - float(BLOCK_X - 1)
     dhi_y = my - ty.astype(jnp.float32) * float(BLOCK_Y)
@@ -108,7 +113,12 @@ def _min_sigma_over_tile(mx, my, A, B, C, tx, ty):
         jnp.minimum(edge_x(dlo_x), edge_x(dhi_x)),
         jnp.minimum(edge_y(dlo_y), edge_y(dhi_y)),
     )
-    return jnp.where(inside, 0.0, m)
+    s_corner = 0.5 * (
+        A * jnp.maximum(dlo_x * dlo_x, dhi_x * dhi_x)
+        + C * jnp.maximum(dlo_y * dlo_y, dhi_y * dhi_y)
+    )
+    delta = 2.0 ** -8
+    return jnp.where(inside, 0.0, m - 2.1 * delta * s_corner)
 
 
 def count_isects(
@@ -199,19 +209,33 @@ def bin_gaussians(
 
     if opacities is not None:
         # exact tile-ellipse cull: keep only pairs that can reach
-        # alpha_thresh somewhere in the tile (see docstring)
+        # alpha_thresh somewhere in the tile (see docstring). Four
+        # broadcast planes ride the candidate stream: mx, my exact f32;
+        # (A|C) and (B|s_max) as bf16 pairs — _min_sigma_over_tile
+        # compensates the bf16 rounding conservatively, and the final
+        # margin absorbs the 0.4% rounding of s_max = ln(op/thresh).
+        from .pallas.raster import pack_bf16_pair, unpack_bf16_pair
+
+        s_max_g = jnp.log(
+            jnp.maximum(opacities.reshape(-1).astype(jnp.float32), 1e-12)
+            / alpha_thresh
+        )
         mx = _ffill_f32(proj.xys[:, 0], starts, max_isects)
         my = _ffill_f32(proj.xys[:, 1], starts, max_isects)
-        cA = _ffill_f32(proj.conics[:, 0], starts, max_isects)
-        cB = _ffill_f32(proj.conics[:, 1], starts, max_isects)
-        cC = _ffill_f32(proj.conics[:, 2], starts, max_isects)
-        op = _ffill_f32(opacities.reshape(-1), starts, max_isects)
+        ac = _ffill_f32(
+            pack_bf16_pair(proj.conics[:, 0], proj.conics[:, 2]),
+            starts, max_isects,
+        )
+        bs = _ffill_f32(
+            pack_bf16_pair(proj.conics[:, 1], s_max_g), starts, max_isects
+        )
+        cA, cC = unpack_bf16_pair(ac)
+        cB, s_max = unpack_bf16_pair(bs)
         min_sigma = _min_sigma_over_tile(mx, my, cA, cB, cC, tx, ty)
-        log_op = jnp.log(jnp.maximum(op, 1e-12))
-        # keep if op * exp(-min_sigma) could reach the threshold (small
-        # margin keeps borderline pairs — conservative, never drops a
-        # contributor)
-        reachable = log_op - min_sigma >= math.log(alpha_thresh) - 1e-6
+        # keep if op * exp(-min_sigma) could reach the threshold (the
+        # 0.05 margin covers the bf16 rounding of s_max — conservative,
+        # never drops a contributor)
+        reachable = s_max - min_sigma >= -0.05
         keep = in_range & reachable
     else:
         keep = in_range
@@ -278,6 +302,10 @@ def bin_gaussians(
         padded_start_f + pos_in_tile,
         out_size,  # dropped
     )
+    # (an equivalent gather-based layout — slot j reads sorted entry
+    # tile_start[t] + (j - padded_start[t]) — measured SLOWER on v5e:
+    # the L-scale gather is latency-bound even with monotone indices,
+    # while this scatter stays cheap below a few million rows)
     gid_padded = jnp.full((out_size,), c, jnp.int32).at[new_pos].set(
         gid_sorted, mode="drop"
     )

@@ -152,11 +152,15 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
         # Caveat: exact only when the stream did not overflow the budget
         # (overflow already degrades the forward identically and the
         # budget feedback regrows next step).
-        e = jnp.arange(i, dtype=jnp.int32)
-        gs, es = jax.lax.sort((gauss_ids, e), num_keys=1, is_stable=False)
-        # ONE (I, 8) gather brings every gradient field (v_r|v_g ride as
-        # a bf16 pair); unpack after the gather, before the cumsums
-        sorted8 = grecs[0:8, :].T[es]  # (I, 8)
+        # carry the 8 gradient planes THROUGH the sort as payload: the
+        # bitonic sort is bandwidth-bound and costs far less per plane
+        # than the latency-bound (I, 8) row gather a sort-indices-then-
+        # gather scheme needs (measured v5e 1M@1080: +20% whole-step)
+        out = jax.lax.sort(
+            (gauss_ids,) + tuple(grecs[k] for k in range(8)),
+            num_keys=1, is_stable=False,
+        )
+        sorted8 = jnp.stack(out[1:], axis=1)  # (I, 8)
         v_r, v_g = unpack_bf16_pair(sorted8[:, 6])
         cnt = isect_counts.astype(jnp.int32)
         ends_g = jnp.minimum(jnp.cumsum(cnt), i)
