@@ -40,7 +40,9 @@ def _pack_planes(xys, conics, colors, opac, gauss_ids, c):
 # backward reduction strategy switch: below this isect count a fused
 # scatter-add wins; above it the sort+cumsum+boundary-gather path does
 # (see _rasterize_pallas_bwd). Module-level so tests can force either.
-SEGSUM_SORT_THRESHOLD = 2_000_000
+SEGSUM_SORT_THRESHOLD = int(
+    __import__("os").environ.get("OPENSPLAT_TPU_SEGSUM_THRESHOLD", 2_000_000)
+)
 
 # exact tile-ellipse culling pays for its 6 extra stream cumsums only on
 # large candidate streams (measured v5e: -1.5% at ~0.8M, +20% at ~8.5M);
