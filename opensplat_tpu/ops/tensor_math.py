@@ -128,3 +128,32 @@ def morton_order(points: np.ndarray) -> np.ndarray:
         | (_part1by2_np(q[:, 2]) << 2)
     )
     return np.argsort(key, kind="stable")
+
+
+def rotation_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rotation carrying unit-direction `a` onto `b` (Rodrigues form).
+
+    Parity with the reference's rotationMatrix (tensor_math.cpp:47-68;
+    defined there but unused by the trainer). Degenerate anti-parallel
+    input falls back to a 180-degree rotation about an orthogonal axis.
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    a = a / np.linalg.norm(a)
+    b = b / np.linalg.norm(b)
+    v = np.cross(a, b)
+    c = float(np.dot(a, b))
+    if c < -1.0 + 1e-8:
+        # 180 degrees: rotate about any axis orthogonal to a
+        axis = np.cross(a, [1.0, 0.0, 0.0])
+        if np.linalg.norm(axis) < 1e-8:
+            axis = np.cross(a, [0.0, 1.0, 0.0])
+        axis /= np.linalg.norm(axis)
+        return rodrigues_to_rotation(axis * np.pi).astype(np.float32)
+    k = np.array([
+        [0.0, -v[2], v[1]],
+        [v[2], 0.0, -v[0]],
+        [-v[1], v[0], 0.0],
+    ])
+    r = np.eye(3) + k + k @ k * (1.0 / (1.0 + c))
+    return r.astype(np.float32)

@@ -143,3 +143,22 @@ def test_opacity_aware_bbox_is_subset_and_render_identical():
     img_t, ft_t = render(tight)
     np.testing.assert_allclose(img_t, img_b, atol=1e-5)
     np.testing.assert_allclose(ft_t, ft_b, atol=1e-5)
+
+
+def test_rotation_matrix_parity():
+    """rotationMatrix(a, b) parity (tensor_math.cpp:47-68): carries a
+    onto b, handles the anti-parallel degenerate case."""
+    from opensplat_tpu.ops.tensor_math import rotation_matrix
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        a = rng.normal(size=3)
+        b = rng.normal(size=3)
+        a = a / np.linalg.norm(a)
+        b = b / np.linalg.norm(b)
+        r = rotation_matrix(a, b)
+        np.testing.assert_allclose(r @ a, b, atol=1e-5)
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+    a = np.array([0.0, 0.0, 1.0])
+    r = rotation_matrix(a, -a)
+    np.testing.assert_allclose(r @ a, -a, atol=1e-6)
