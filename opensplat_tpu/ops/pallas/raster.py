@@ -127,18 +127,34 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
     n_chunks = pl.cdiv(count, K)
     px, py = _pixel_coords(t, tb_x)
     M_excl, _, _ = _cum_matrices()
+    n_recs = recs_hbm.shape[1]
 
     state[:, :] = jnp.zeros((PIX, 8), jnp.float32)
     state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
     fidx_s[:, :] = jnp.full((PIX, 1), _BIG, jnp.int32)
 
+    # double-buffered chunk DMA: slot i%2 holds chunk i; chunk i+1 is
+    # prefetched while chunk i computes (the blocking start();wait()
+    # version left the DMA engine idle during every compute block).
+    # Prefetch addresses are clamped into the record table — reading a
+    # stranger tile's records is harmless, the compute masks by count.
+    def _chunk_dma(i, slot):
+        base = pl.multiple_of(
+            jnp.minimum(start + i * K, n_recs - K), K
+        )
+        return pltpu.make_async_copy(
+            recs_hbm.at[:, pl.ds(base, K)], buf.at[slot], sem.at[slot]
+        )
+
+    _chunk_dma(jnp.int32(0), jnp.int32(0)).start()
+
     def body(carry):
         i, _ = carry
+        slot = jax.lax.rem(i, 2)
+        _chunk_dma(i + 1, 1 - slot).start()
+        _chunk_dma(i, slot).wait()
         base = pl.multiple_of(start + i * K, K)
-        dma = pltpu.make_async_copy(recs_hbm.at[:, pl.ds(base, K)], buf, sem)
-        dma.start()
-        dma.wait()
-        x, y, A, B, C, op, col = _chunk_fields(buf[:, :])
+        x, y, A, B, C, op, col = _chunk_fields(buf[slot])
 
         T_carry = state[:, 0:1]
         rgb = state[:, 1:4]
@@ -181,7 +197,12 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
         i, all_done = carry
         return (i < n_chunks) & jnp.logical_not(all_done)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((), bool)))
+    final_i, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((), bool))
+    )
+    # drain the outstanding prefetch (chunk final_i, started by the
+    # prologue or by the last executed body) before the scratch is reused
+    _chunk_dma(final_i, jax.lax.rem(final_i, 2)).wait()
 
     packed = jnp.concatenate(
         [state[:, 1:4], state[:, 0:1], jnp.zeros((PIX, 4), jnp.float32)], axis=1
@@ -205,10 +226,10 @@ def pallas_rasterize_forward(recs, tile_start, tile_end, tb_x: int, tb_y: int,
             pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((REC_IN, K), jnp.float32),
+            pltpu.VMEM((2, REC_IN, K), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.VMEM((PIX, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     acc, fidx = pl.pallas_call(
@@ -252,18 +273,42 @@ def _bwd_kernel(
     eff = jnp.where(fidx >= _BIG, count, fidx - start)  # (PIX, 1)
     max_eff = jnp.max(eff)
     n_chunks = pl.cdiv(jnp.minimum(max_eff, count), K)
+    n_recs = recs_hbm.shape[1]
 
     state[:, :] = jnp.zeros((PIX, 8), jnp.float32)
     state[:, 0:1] = T_final
 
+    # double-buffered DMA on both sides: chunk i-1's records prefetch
+    # while chunk i computes, and each chunk's gradient record writes
+    # back asynchronously (waited only when its slot is reused).
+    def _in_dma(j, slot):
+        i = n_chunks - 1 - j
+        base = pl.multiple_of(
+            jnp.clip(start + i * K, 0, n_recs - K), K
+        )
+        return pltpu.make_async_copy(
+            recs_hbm.at[:, pl.ds(base, K)], buf.at[slot], sem.at[slot]
+        )
+
+    def _out_dma(j, slot):
+        i = n_chunks - 1 - j
+        base = pl.multiple_of(
+            jnp.clip(start + i * K, 0, n_recs - K), K
+        )
+        return pltpu.make_async_copy(
+            gbuf.at[slot], grads_hbm.at[:, pl.ds(base, K)], gsem.at[slot]
+        )
+
+    _in_dma(jnp.int32(0), jnp.int32(0)).start()
+
     def body(carry):
         j = carry
         i = n_chunks - 1 - j
+        slot = jax.lax.rem(j, 2)
+        _in_dma(j + 1, 1 - slot).start()
+        _in_dma(j, slot).wait()
         base = pl.multiple_of(start + i * K, K)
-        dma = pltpu.make_async_copy(recs_hbm.at[:, pl.ds(base, K)], buf, sem)
-        dma.start()
-        dma.wait()
-        x, y, A, B, C, op, col = _chunk_fields(buf[:, :])
+        x, y, A, B, C, op, col = _chunk_fields(buf[slot])
         col_r = col[0:1, :]
         col_g = col[1:2, :]
         col_b = col[2:3, :]
@@ -321,10 +366,14 @@ def _bwd_kernel(
         grec = jnp.concatenate(
             [g_x, g_y, g_A, g_B, g_C, g_op, g_rg, g_b], axis=0
         )
-        gbuf[:, :] = grec
-        odma = pltpu.make_async_copy(gbuf, grads_hbm.at[:, pl.ds(base, K)], gsem)
-        odma.start()
-        odma.wait()
+
+        # this slot's previous write-back must land before overwriting
+        @pl.when(j >= 2)
+        def _():
+            _out_dma(j - 2, slot).wait()
+
+        gbuf[slot] = grec
+        _out_dma(j, slot).start()
 
         state[:, 0:1] = T_run * jnp.exp(jnp.sum(lra, axis=1, keepdims=True))
         state[:, 1:2] = buf_rgb[:, 0:1] + jnp.sum(con_r, axis=1, keepdims=True)
@@ -335,7 +384,17 @@ def _bwd_kernel(
     def cond(j):
         return j < n_chunks
 
-    jax.lax.while_loop(cond, body, jnp.int32(0))
+    j_end = jax.lax.while_loop(cond, body, jnp.int32(0))
+    # drain: the outstanding input prefetch + the last two write-backs
+    _in_dma(j_end, jax.lax.rem(j_end, 2)).wait()
+
+    @pl.when(j_end >= 1)
+    def _():
+        _out_dma(j_end - 1, jax.lax.rem(j_end - 1, 2)).wait()
+
+    @pl.when(j_end >= 2)
+    def _():
+        _out_dma(j_end - 2, jax.lax.rem(j_end - 2, 2)).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("tb_x", "tb_y", "interpret"))
@@ -359,11 +418,11 @@ def pallas_rasterize_backward(recs, tile_start, tile_end, cot, fidx,
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((REC_IN, K), jnp.float32),
-            pltpu.VMEM((REC, K), jnp.float32),
+            pltpu.VMEM((2, REC_IN, K), jnp.float32),
+            pltpu.VMEM((2, REC, K), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     zeros_out = jnp.zeros((REC, n_recs), jnp.float32)
