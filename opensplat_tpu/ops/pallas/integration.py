@@ -133,12 +133,17 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
     #     sorted-segment sum (130ms at 4M).
     c = xys.shape[0]
     i = gauss_ids.shape[0]
+
+    def unpack5(p0, p1, p2, p3, p4):
+        """5 packed gradient planes -> 9 f32 columns (see raster.py)."""
+        v_x, v_y = unpack_bf16_pair(p0)
+        v_A, v_B = unpack_bf16_pair(p1)
+        v_C, v_op = unpack_bf16_pair(p2)
+        v_r, v_g = unpack_bf16_pair(p3)
+        return [v_x, v_y, v_A, v_B, v_C, v_op, v_r, v_g, p4]
+
     if i < SEGSUM_SORT_THRESHOLD:
-        v_r, v_g = unpack_bf16_pair(grecs[6, :])
-        planes9 = jnp.concatenate(
-            [grecs[0:6, :].T, v_r[:, None], v_g[:, None], grecs[7, :][:, None]],
-            axis=1,
-        )
+        planes9 = jnp.stack(unpack5(*(grecs[k] for k in range(5))), axis=1)
         acc = jnp.zeros((c, 9), jnp.float32).at[gauss_ids].add(
             planes9, mode="drop"
         )
@@ -154,26 +159,22 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
         # Caveat: exact only when the stream did not overflow the budget
         # (overflow already degrades the forward identically and the
         # budget feedback regrows next step).
-        # carry the 8 gradient planes THROUGH the sort as payload: the
-        # bitonic sort is bandwidth-bound and costs far less per plane
-        # than the latency-bound (I, 8) row gather a sort-indices-then-
-        # gather scheme needs (measured v5e 1M@1080: +20% whole-step)
+        # carry the 5 packed gradient planes THROUGH the sort as
+        # payload: the bitonic sort is bandwidth-bound per operand and
+        # costs far less than the latency-bound (I, 8) row gather a
+        # sort-indices-then-gather scheme needs (measured v5e 1M@1080:
+        # +20% whole-step); bf16-pair packing keeps it to 6 operands
         out = jax.lax.sort(
-            (gauss_ids,) + tuple(grecs[k] for k in range(8)),
+            (gauss_ids,) + tuple(grecs[k] for k in range(5)),
             num_keys=1, is_stable=False,
         )
-        sorted8 = jnp.stack(out[1:], axis=1)  # (I, 8)
-        v_r, v_g = unpack_bf16_pair(sorted8[:, 6])
+        cols9 = unpack5(*out[1:])
         cnt = isect_counts.astype(jnp.int32)
         ends_g = jnp.minimum(jnp.cumsum(cnt), i)
         starts_g = jnp.minimum(ends_g - cnt, i)
-        cs8 = jnp.cumsum(
-            jnp.concatenate(
-                [sorted8[:, 0:6], v_r[:, None], v_g[:, None]], axis=1
-            ),
-            axis=0,
-        )  # (I, 8): vx, vy, vA, vB, vC, vopac, vr, vg
-        cs1 = jnp.cumsum(sorted8[:, 7])  # v_b
+        cs8 = jnp.cumsum(jnp.stack(cols9[0:8], axis=1), axis=0)
+        # (I, 8): vx, vy, vA, vB, vC, vopac, vr, vg
+        cs1 = jnp.cumsum(cols9[8])  # v_b
         end8 = jnp.where(ends_g[:, None] > 0,
                          cs8[jnp.maximum(ends_g - 1, 0)], 0.0)
         start8 = jnp.where(starts_g[:, None] > 0,

@@ -39,11 +39,14 @@ half the DMA of a 16-plane layout): 0 x, 1 y, 2 conic A, 3 conic B,
 range [0, 4], bitcast into the f32 plane; top two bits zero so the
 pattern is never NaN/Inf), 7 zero. Color quantization step is 1/256 —
 a ~57 dB PSNR ceiling, far above scene-reconstruction PSNR.
-Gradient planes (8 rows): 0 v_x, 1 v_y, 2..4 v_conic, 5 v_opacity,
-6 (v_r | v_g) as a bf16 pair bitcast into the f32 plane (finite grads
-never form NaN/Inf patterns; ~0.4% relative color-gradient precision),
-7 v_b. One 8-plane record per isect keeps the outside reduction to a
-single <=32-byte-row gather and halves the kernel's output DMA.
+Gradient planes (8 rows, 5 meaningful; bf16 pairs bitcast into f32
+planes — finite grads never form NaN/Inf patterns): 0 (v_x | v_y),
+1 (v_A | v_B), 2 (v_C | v_opacity), 3 (v_r | v_g), 4 v_b full f32,
+5..7 zero (HBM slices must stay 8-sublane-aligned). bf16 keeps the full
+f32 exponent range and costs ~0.4% relative precision per contribution
+(half-ulp round-to-nearest), far below training noise and the densify
+threshold's (2e-4, model.cpp:349) discrimination needs. Packing cuts
+the gid payload sort to 6 operands from 10.
 """
 from __future__ import annotations
 
@@ -60,7 +63,11 @@ from ..rasterize import ALPHA_THRESH, BWD_ALPHA_CLAMP, FWD_ALPHA_CLAMP, T_EPS
 K = 128  # isects per chunk (lane dim)
 PIX = BLOCK_X * BLOCK_Y  # 256 pixels per tile (sublane dim)
 REC_IN = 8  # input record planes (packed colors)
-REC = 8  # gradient record planes (v_r|v_g packed as bf16 pair)
+# gradient record planes: 5 meaningful (4 bf16 pairs + v_b) + 3 zero
+# rows — HBM slices must stay 8-sublane-aligned (Mosaic tiling), but the
+# downstream payload sort reads only the first 5 planes
+REC = 8
+REC_USED = 5
 COLOR_SCALE = 1023.0 / 4.0  # 10-bit fixed point over [0, 4]
 
 
@@ -362,9 +369,16 @@ def _bwd_kernel(
         g_r = psum(fac * v_r)
         g_g = psum(fac * v_g)
         g_b = psum(fac * v_b)
-        g_rg = pack_bf16_pair(g_r, g_g)
         grec = jnp.concatenate(
-            [g_x, g_y, g_A, g_B, g_C, g_op, g_rg, g_b], axis=0
+            [
+                pack_bf16_pair(g_x, g_y),
+                pack_bf16_pair(g_A, g_B),
+                pack_bf16_pair(g_C, g_op),
+                pack_bf16_pair(g_r, g_g),
+                g_b,
+                jnp.zeros((REC - REC_USED, K), jnp.float32),
+            ],
+            axis=0,
         )
 
         # this slot's previous write-back must land before overwriting
