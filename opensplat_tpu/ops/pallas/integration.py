@@ -171,19 +171,21 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
         cols9 = unpack5(*out[1:])
         cnt = isect_counts.astype(jnp.int32)
         ends_g = jnp.minimum(jnp.cumsum(cnt), i)
-        starts_g = jnp.minimum(ends_g - cnt, i)
         cs8 = jnp.cumsum(jnp.stack(cols9[0:8], axis=1), axis=0)
         # (I, 8): vx, vy, vA, vB, vC, vopac, vr, vg
         cs1 = jnp.cumsum(cols9[8])  # v_b
+        # segments are CONSECUTIVE in gid-sorted order (gaussian g's run
+        # starts where g-1's ends), so the segment-start prefix values
+        # are the end values shifted by one row — one C-scale gather per
+        # table instead of two
         end8 = jnp.where(ends_g[:, None] > 0,
                          cs8[jnp.maximum(ends_g - 1, 0)], 0.0)
-        start8 = jnp.where(starts_g[:, None] > 0,
-                           cs8[jnp.maximum(starts_g - 1, 0)], 0.0)
         end1 = jnp.where(ends_g > 0, cs1[jnp.maximum(ends_g - 1, 0)], 0.0)
-        start1 = jnp.where(starts_g > 0, cs1[jnp.maximum(starts_g - 1, 0)], 0.0)
-        acc = jnp.concatenate(
-            [end8 - start8, (end1 - start1)[:, None]], axis=1
+        end9 = jnp.concatenate([end8, end1[:, None]], axis=1)
+        start9 = jnp.concatenate(
+            [jnp.zeros((1, 9), jnp.float32), end9[:-1]], axis=0
         )
+        acc = end9 - start9
     v_xys = acc[:, 0:2]
     v_conics = acc[:, 2:5]
     v_opac = acc[:, 5].reshape(opac.shape)
