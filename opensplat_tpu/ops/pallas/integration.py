@@ -128,9 +128,8 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
     #   * small/medium streams: ONE fused (I, 9) scatter-add (the
     #     duplicate-index cost is acceptable and avoids sort overhead);
     #   * large streams (>= ~2M isects): duplicate-index scatter-add
-    #     serializes (460ms at 4M), so sort by gid (2 operands), 8-wide
-    #     row gathers (the <=32-byte row fast path), then a
-    #     sorted-segment sum (130ms at 4M).
+    #     serializes (460ms at 4M), so a gid payload sort + cumsum +
+    #     shifted-boundary segment sum.
     c = xys.shape[0]
     i = gauss_ids.shape[0]
 
@@ -153,9 +152,8 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
         # rows, and an I-sized searchsorted is log(I) such gathers).
         # After sorting by gid, gaussian g's run occupies
         # [cum[g]-cnt[g], cum[g]) where cnt comes from the forward
-        # binning (isect_counts == num_tiles_hit). So: gid sort,
-        # 8-wide row gathers (<=32-byte fast path), column cumsum
-        # (log-depth tree scan), two C-row boundary gathers.
+        # binning (isect_counts). So: gid payload sort, column cumsum,
+        # one C-row boundary gather per table (starts = shifted ends).
         # Caveat: exact only when the stream did not overflow the budget
         # (overflow already degrades the forward identically and the
         # budget feedback regrows next step).

@@ -7,8 +7,9 @@ backward.cu:161-355), re-designed for the hardware:
   * grid over tiles; each tile loops over its own chunk list with a
     `while_loop` and EXITS EARLY once every pixel is done — the
     dynamic-work saving the XLA flat-stream renderer cannot express;
-  * per-isect Gaussian data is stored field-major as (16, I) planes and
-    staged HBM -> VMEM with async DMA in lane-aligned (16, 128) chunks
+  * per-isect Gaussian data is stored field-major as (8, I) planes and
+    staged HBM -> VMEM with double-buffered async DMA in lane-aligned
+    (8, 128) chunks
     (tile ranges are 128-aligned by binning; the analogue of the CUDA
     cooperative shared-memory loads, forward.cu:296-331);
   * compute blocks are (256 pixels x 128 Gaussians): pixels ride the
@@ -17,10 +18,10 @@ backward.cu:161-355), re-designed for the hardware:
     space (cumulative sums of log(1-alpha)), turning the serial
     dependency into one 256x128x128 matmul per chunk;
   * instead of warp atomics, the backward emits per-intersection
-    gradient records (same (16, I) plane layout), reduced outside with
-    one deterministic scatter-add over Gaussian ids (TPU has no atomics;
-    XLA scatter is deterministic — an improvement over CUDA's
-    nondeterministic atomicAdd ordering).
+    gradient records (same plane layout), reduced outside with a
+    deterministic scatter-add or gid payload-sort segment sum (TPU has
+    no atomics; both reductions are deterministic — an improvement over
+    CUDA's nondeterministic atomicAdd ordering).
 
 Mosaic constraint: `while_loop` carries must be scalars (vector carries
 with changing layouts fail to legalize), so all per-tile vector state
@@ -415,7 +416,7 @@ def _bwd_kernel(
 def pallas_rasterize_backward(recs, tile_start, tile_end, cot, fidx,
                               tb_x: int, tb_y: int, interpret: bool = False):
     """cot: (T, 8, 256) rows [v_r, v_g, v_b, v_final_t, T_final, bg_dot, 0, 0].
-    Returns per-isect gradient planes (16, I). Alignment-padding rows get
+    Returns per-isect gradient planes (REC, I). Alignment-padding rows get
     zeros from their owning tile's masked compute; rows past the last
     tile's range are untouched memory and must be masked by the gid
     sentinel in the scatter."""
