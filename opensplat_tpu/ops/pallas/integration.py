@@ -215,29 +215,29 @@ def rasterize_pallas(
     return_isects: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Pallas TPU rasterization; rasterize_tiled() contract. With
-    return_isects a third output is appended: the kept padded isect
-    total (layout-budget feedback).
+    return_isects a third output is appended: the kept isect total
+    (layout-budget feedback).
 
     Two static budgets: `max_isects` sizes the candidate expansion/sort
     stream (tile-bbox pairs, fed back from count_isects), `layout_isects`
-    sizes the post-cull 128-aligned layout buffer every downstream
-    per-isect stage runs at (fed back from the third return). The exact
-    tile-ellipse cull in binning typically drops 30-50% of bbox pairs
-    with bit-identical output (see bin_gaussians)."""
+    sizes the sorted-stream prefix every downstream per-isect stage runs
+    at (fed back from the third return; the culled tail sorts past every
+    tile range). The exact tile-ellipse cull in binning typically drops
+    30-50% of bbox pairs with bit-identical output (see
+    bin_gaussians)."""
     from ..rasterize import ALPHA_THRESH
 
     opacities = opacities.reshape(-1)
     c = xys.shape[0]
     tb_x, tb_y = num_tiles(height, width)
-    # every nonempty tile costs >= K slots of alignment padding; the default
-    # budget must absorb the worst case or whole tiles get clamped away
-    floor_budget = K * tb_x * tb_y + 8 * c
+    floor_budget = max(8 * c, K)
     if max_isects <= 0:
         max_isects = floor_budget
+    max_isects = ((max_isects + K - 1) // K) * K
     if layout_isects <= 0:
-        layout_isects = min(max_isects, floor_budget)
-    layout_isects = max(layout_isects, K * tb_x * tb_y)
+        layout_isects = max_isects
     layout_isects = ((layout_isects + K - 1) // K) * K
+    layout_isects = max(min(layout_isects, max_isects), K)
 
     proj_like = ProjectedGaussians(
         xys=jax.lax.stop_gradient(xys),
@@ -253,13 +253,20 @@ def rasterize_pallas(
     )
     use_cull = max_isects >= CULL_MIN_CANDIDATES
     binned = bin_gaussians(
-        proj_like, height, width, max_isects, align=K,
+        proj_like, height, width, max_isects,
         opacities=jax.lax.stop_gradient(opacities) if use_cull else None,
-        layout_size=layout_isects, alpha_thresh=ALPHA_THRESH,
+        alpha_thresh=ALPHA_THRESH,
     )
+    # the kernels need NO aligned relayout (they floor each tile's chunk
+    # base to 128 and mask by range bounds), so every downstream
+    # per-isect stage runs on a static PREFIX of the sorted stream:
+    # culled/invalid entries sort to the tail, past every tile range
+    gauss_ids = binned.gauss_ids[:layout_isects]
+    tile_start = jnp.minimum(binned.tile_start, layout_isects)
+    tile_end = jnp.minimum(binned.tile_end, layout_isects)
     img, final_t = _rasterize_pallas_binned(
         xys, conics, colors, opacities, background.astype(jnp.float32),
-        binned.gauss_ids, (binned.tile_start, binned.tile_end),
+        gauss_ids, (tile_start, tile_end),
         binned.isect_counts, height, width,
     )
     if return_isects:

@@ -131,8 +131,12 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
     # state (PIX, 8) f32: col 0 = T, cols 1:4 = rgb accum, col 4 = done flag
     t = pl.program_id(0)
     start = start_ref[t]
-    count = end_ref[t] - start
-    n_chunks = pl.cdiv(count, K)
+    end = end_ref[t]
+    # tile ranges need NO alignment: chunks start at the floor-128 base
+    # and lanes outside [start, end) are masked — the leading overhang
+    # belongs to the previous tile's tail (valid memory)
+    base0 = pl.multiple_of(start - jax.lax.rem(start, K), K)
+    n_chunks = jnp.where(end > start, pl.cdiv(end - base0, K), 0)
     px, py = _pixel_coords(t, tb_x)
     M_excl, _, _ = _cum_matrices()
     n_recs = recs_hbm.shape[1]
@@ -145,10 +149,10 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
     # prefetched while chunk i computes (the blocking start();wait()
     # version left the DMA engine idle during every compute block).
     # Prefetch addresses are clamped into the record table — reading a
-    # stranger tile's records is harmless, the compute masks by count.
+    # stranger tile's records is harmless, the compute masks by bounds.
     def _chunk_dma(i, slot):
         base = pl.multiple_of(
-            jnp.minimum(start + i * K, n_recs - K), K
+            jnp.minimum(base0 + i * K, n_recs - K), K
         )
         return pltpu.make_async_copy(
             recs_hbm.at[:, pl.ds(base, K)], buf.at[slot], sem.at[slot]
@@ -161,7 +165,7 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
         slot = jax.lax.rem(i, 2)
         _chunk_dma(i + 1, 1 - slot).start()
         _chunk_dma(i, slot).wait()
-        base = pl.multiple_of(start + i * K, K)
+        base = pl.multiple_of(base0 + i * K, K)
         x, y, A, B, C, op, col = _chunk_fields(buf[slot])
 
         T_carry = state[:, 0:1]
@@ -170,7 +174,8 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
         fidx = fidx_s[:, :]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-        row_valid = (i * K + lane) < count  # (1, K)
+        row_gk = base + lane
+        row_valid = (row_gk >= start) & (row_gk < end)  # (1, K)
         dx = x - px  # (PIX, K)
         dy = y - py
         sigma = 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy
@@ -254,13 +259,15 @@ def pallas_rasterize_forward(recs, tile_start, tile_end, tb_x: int, tb_y: int,
 
 def _bwd_kernel(
     start_ref, end_ref, recs_hbm, cot_ref, fidx_ref, zeros_hbm, grads_hbm,
-    buf, gbuf, state, sem, gsem, *, tb_x,
+    buf, gbuf, state, rbuf, sem, gsem, rsem, *, tb_x,
 ):
     del zeros_hbm  # aliased with grads_hbm; only the alias matters
     # state (PIX, 8): col 0 = T_run, cols 1:4 = buffer rgb
     t = pl.program_id(0)
     start = start_ref[t]
-    count = end_ref[t] - start
+    end = end_ref[t]
+    count = end - start
+    base0 = pl.multiple_of(start - jax.lax.rem(start, K), K)
     px, py = _pixel_coords(t, tb_x)
     _, M_sfx_incl, M_sfx_excl = _cum_matrices()
 
@@ -279,8 +286,8 @@ def _bwd_kernel(
     # need no replay. Their gradient slots stay zero thanks to the
     # zero-initialized, input-output-aliased output buffer.
     eff = jnp.where(fidx >= _BIG, count, fidx - start)  # (PIX, 1)
-    max_eff = jnp.max(eff)
-    n_chunks = pl.cdiv(jnp.minimum(max_eff, count), K)
+    glim = start + jnp.minimum(jnp.max(eff), count)  # last record + 1
+    n_chunks = jnp.where(glim > base0, pl.cdiv(glim - base0, K), 0)
     n_recs = recs_hbm.shape[1]
 
     state[:, :] = jnp.zeros((PIX, 8), jnp.float32)
@@ -292,7 +299,7 @@ def _bwd_kernel(
     def _in_dma(j, slot):
         i = n_chunks - 1 - j
         base = pl.multiple_of(
-            jnp.clip(start + i * K, 0, n_recs - K), K
+            jnp.clip(base0 + i * K, 0, n_recs - K), K
         )
         return pltpu.make_async_copy(
             recs_hbm.at[:, pl.ds(base, K)], buf.at[slot], sem.at[slot]
@@ -301,7 +308,7 @@ def _bwd_kernel(
     def _out_dma(j, slot):
         i = n_chunks - 1 - j
         base = pl.multiple_of(
-            jnp.clip(start + i * K, 0, n_recs - K), K
+            jnp.clip(base0 + i * K, 0, n_recs - K), K
         )
         return pltpu.make_async_copy(
             gbuf.at[slot], grads_hbm.at[:, pl.ds(base, K)], gsem.at[slot]
@@ -315,7 +322,7 @@ def _bwd_kernel(
         slot = jax.lax.rem(j, 2)
         _in_dma(j + 1, 1 - slot).start()
         _in_dma(j, slot).wait()
-        base = pl.multiple_of(start + i * K, K)
+        base = pl.multiple_of(base0 + i * K, K)
         x, y, A, B, C, op, col = _chunk_fields(buf[slot])
         col_r = col[0:1, :]
         col_g = col[1:2, :]
@@ -325,7 +332,8 @@ def _bwd_kernel(
         buf_rgb = state[:, 1:4]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-        row_valid = (i * K + lane) < count
+        row_gk = base + lane
+        row_valid = (row_gk >= start) & (row_gk < end)
         dx = x - px
         dy = y - py
         sigma = 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy
@@ -387,7 +395,22 @@ def _bwd_kernel(
         def _():
             _out_dma(j - 2, slot).wait()
 
-        gbuf[slot] = grec
+        # the boundary chunk (i == 0) may be shared with the PREVIOUS
+        # tile's tail: read-modify-write so its already-written gradient
+        # lanes survive (sequential grid + end-of-step drains make this
+        # race-free; this tile's lanes there hold zeros in `prev`)
+        @pl.when(i == 0)
+        def _():
+            rmw = pltpu.make_async_copy(
+                grads_hbm.at[:, pl.ds(pl.multiple_of(
+                    jnp.clip(base0, 0, n_recs - K), K), K)],
+                rbuf, rsem,
+            )
+            rmw.start()
+            rmw.wait()
+
+        prev = jnp.where(i == 0, rbuf[:, :], 0.0)
+        gbuf[slot] = grec + prev
         _out_dma(j, slot).start()
 
         state[:, 0:1] = T_run * jnp.exp(jnp.sum(lra, axis=1, keepdims=True))
@@ -436,8 +459,10 @@ def pallas_rasterize_backward(recs, tile_start, tile_end, cot, fidx,
             pltpu.VMEM((2, REC_IN, K), jnp.float32),
             pltpu.VMEM((2, REC, K), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
+            pltpu.VMEM((REC, K), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     zeros_out = jnp.zeros((REC, n_recs), jnp.float32)
