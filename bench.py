@@ -80,8 +80,12 @@ def main():
     if os.path.exists(anchor_path):
         try:
             anchor = json.load(open(anchor_path))
-            if anchor.get("steps_per_sec"):
-                vs_baseline = steps_per_sec / float(anchor["steps_per_sec"])
+            metric_name = f"train_steps_per_sec[{renderer},{n_points}g,{h}px]"
+            ref = anchor.get("per_metric", {}).get(
+                metric_name, anchor.get("steps_per_sec")
+            )
+            if ref:
+                vs_baseline = round(steps_per_sec / float(ref), 3)
         except Exception:
             pass
 
