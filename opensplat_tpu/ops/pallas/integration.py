@@ -37,11 +37,14 @@ def _pack_planes(xys, conics, colors, opac, gauss_ids, c):
     return table8[g].T  # (8, I)
 
 
-# backward reduction strategy switch: below this isect count a fused
-# scatter-add wins; above it the sort+cumsum+boundary-gather path does
-# (see _rasterize_pallas_bwd). Module-level so tests can force either.
+# backward reduction strategy switch: streams at or above this isect
+# count use the payload-sort segment sum, below it the fused scatter-add
+# (see _rasterize_pallas_bwd). With the 6-operand packed sort the sort
+# path measured faster at EVERY size on v5e (16k@256: 163 -> 182
+# steps/s, 131k@512: 23.8 -> 29.9), so the default is "always sort";
+# the scatter path stays selectable for tests and other backends.
 SEGSUM_SORT_THRESHOLD = int(
-    __import__("os").environ.get("OPENSPLAT_TPU_SEGSUM_THRESHOLD", 2_000_000)
+    __import__("os").environ.get("OPENSPLAT_TPU_SEGSUM_THRESHOLD", 0)
 )
 
 # exact tile-ellipse culling pays for its 6 extra stream cumsums only on
@@ -124,12 +127,10 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
         recs, tile_start, tile_end, cot, fidx, tb_x, tb_y, interpret=_interpret()
     )
 
-    # Per-Gaussian gradient reduction. Two regimes measured on v5e:
-    #   * small/medium streams: ONE fused (I, 9) scatter-add (the
-    #     duplicate-index cost is acceptable and avoids sort overhead);
-    #   * large streams (>= ~2M isects): duplicate-index scatter-add
-    #     serializes (460ms at 4M), so a gid payload sort + cumsum +
-    #     shifted-boundary segment sum.
+    # Per-Gaussian gradient reduction: gid payload sort + cumsum +
+    # shifted-boundary segment sum by default (duplicate-index
+    # scatter-adds serialize on v5e at every measured size); the fused
+    # (I, 9) scatter-add remains selectable via SEGSUM_SORT_THRESHOLD.
     c = xys.shape[0]
     i = gauss_ids.shape[0]
 

@@ -103,9 +103,9 @@ def test_backward_reduction_paths_agree(monkeypatch):
 
     args = (pg.xys, pg.conics, jnp.asarray(sc["colors"]),
             jnp.asarray(sc["opacities"]))
+    g_sorted = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)  # default: sort
+    monkeypatch.setattr(integ, "SEGSUM_SORT_THRESHOLD", 1 << 30)
     g_scatter = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
-    monkeypatch.setattr(integ, "SEGSUM_SORT_THRESHOLD", 0)
-    g_sorted = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
     for a, b in zip(g_scatter, g_sorted):
         # the two paths sum contributions in different orders; with heavy
         # cancellation the error scales with the LARGEST contribution, so
