@@ -79,7 +79,7 @@ def _ffill_f32(values: jax.Array, positions: jax.Array, size: int) -> jax.Array:
     )
 
 
-def _min_sigma_over_tile(mx, my, A, B, C, tx, ty):
+def _min_sigma_over_tile(mx, my, A, B, C, tx, ty, pos_slack: float = 0.0):
     """Conservative lower bound of the Gaussian exponent sigma(p) =
     0.5*(A dx^2 + C dy^2) + B dx dy (dx = mx - px, dy = my - py; the
     rasterizer's convention, forward.cu:340-342) over the tile's
@@ -92,10 +92,12 @@ def _min_sigma_over_tile(mx, my, A, B, C, tx, ty):
     quadratic deviates from the true one by at most 2*delta*S where
     S = 0.5*(A dx^2 + C dy^2); the returned bound subtracts
     2.1*delta*S_corner (S maximized over the rect corners)."""
-    dhi_x = mx - tx.astype(jnp.float32) * float(BLOCK_X)
-    dlo_x = dhi_x - float(BLOCK_X - 1)
-    dhi_y = my - ty.astype(jnp.float32) * float(BLOCK_Y)
-    dlo_y = dhi_y - float(BLOCK_Y - 1)
+    # pos_slack expands the rectangle to absorb quantized mean
+    # positions (conservative: a larger rect can only lower the min)
+    dhi_x = mx - tx.astype(jnp.float32) * float(BLOCK_X) + pos_slack
+    dlo_x = dhi_x - float(BLOCK_X - 1) - 2.0 * pos_slack
+    dhi_y = my - ty.astype(jnp.float32) * float(BLOCK_Y) + pos_slack
+    dlo_y = dhi_y - float(BLOCK_Y - 1) - 2.0 * pos_slack
     inside = (dlo_x <= 0.0) & (dhi_x >= 0.0) & (dlo_y <= 0.0) & (dhi_y >= 0.0)
 
     def q(dx, dy):
@@ -209,9 +211,11 @@ def bin_gaussians(
 
     if opacities is not None:
         # exact tile-ellipse cull: keep only pairs that can reach
-        # alpha_thresh somewhere in the tile (see docstring). Four
-        # broadcast planes ride the candidate stream: mx, my exact f32;
-        # (A|C) and (B|s_max) as bf16 pairs — _min_sigma_over_tile
+        # alpha_thresh somewhere in the tile (see docstring). Three
+        # broadcast planes ride the candidate stream: (mx|my) quantized
+        # to 0.25 px as an int16 pair (the rect min expands by the
+        # 0.13 px quantization slack; saturated coordinates force keep),
+        # and (A|C), (B|s_max) as bf16 pairs — _min_sigma_over_tile
         # compensates the bf16 rounding conservatively, and the final
         # margin absorbs the 0.4% rounding of s_max = ln(op/thresh).
         from .pallas.raster import pack_bf16_pair, unpack_bf16_pair
@@ -220,8 +224,16 @@ def bin_gaussians(
             jnp.maximum(opacities.reshape(-1).astype(jnp.float32), 1e-12)
             / alpha_thresh
         )
-        mx = _ffill_f32(proj.xys[:, 0], starts, max_isects)
-        my = _ffill_f32(proj.xys[:, 1], starts, max_isects)
+
+        def q16(v):
+            return jnp.clip(
+                jnp.round(v * 4.0), -32768, 32767
+            ).astype(jnp.int32)
+
+        mxy = _ffill_deltas(
+            (q16(proj.xys[:, 0]) << 16) | (q16(proj.xys[:, 1]) & 0xFFFF),
+            starts, max_isects,
+        )
         ac = _ffill_f32(
             pack_bf16_pair(proj.conics[:, 0], proj.conics[:, 2]),
             starts, max_isects,
@@ -229,14 +241,24 @@ def bin_gaussians(
         bs = _ffill_f32(
             pack_bf16_pair(proj.conics[:, 1], s_max_g), starts, max_isects
         )
+        mxq = mxy >> 16  # arithmetic shift: sign preserved
+        myq = (mxy << 16) >> 16
+        saturated = (
+            (mxq >= 32767) | (mxq <= -32768)
+            | (myq >= 32767) | (myq <= -32768)
+        )
+        mx = mxq.astype(jnp.float32) * 0.25
+        my = myq.astype(jnp.float32) * 0.25
         cA, cC = unpack_bf16_pair(ac)
         cB, s_max = unpack_bf16_pair(bs)
-        min_sigma = _min_sigma_over_tile(mx, my, cA, cB, cC, tx, ty)
+        min_sigma = _min_sigma_over_tile(
+            mx, my, cA, cB, cC, tx, ty, pos_slack=0.13
+        )
         # keep if op * exp(-min_sigma) could reach the threshold (the
         # 0.05 margin covers the bf16 rounding of s_max — conservative,
         # never drops a contributor)
         reachable = s_max - min_sigma >= -0.05
-        keep = in_range & reachable
+        keep = in_range & (reachable | saturated)
     else:
         keep = in_range
 
