@@ -52,9 +52,15 @@ def train_step_impl(
     renderer: str = "dense",
     isect_budget: int = 0,
     layout_budget: int = 0,
+    pending_demand: Optional[jax.Array] = None,
 ):
     """Un-jitted train step body — jitted below as train_step; also
-    vmapped over a leading scene axis by parallel.multi_scene."""
+    vmapped over a leading scene axis by parallel.multi_scene.
+
+    `pending_demand` is a (2,) int32 running max of [n_cands, n_isects]
+    since the host last looked: the step folds its own demand in
+    device-side so budget overflows between host sync points are never
+    lost (SURVEY.md §7 hard-part 3: no silent truncation)."""
     background = jnp.asarray(DEFAULT_BACKGROUND, jnp.float32)
     capacity = state.alive.shape[0]
 
@@ -98,6 +104,11 @@ def train_step_impl(
         stats = accumulate_stats(stats, g_xys, out.radii, height, width)
 
     new_state = state.replace(params=new_params, opt=new_opt, stats=stats)
+    demand = jnp.stack(
+        [out.n_cands.astype(jnp.int32), out.n_isects.astype(jnp.int32)]
+    )
+    if pending_demand is not None:
+        demand = jnp.maximum(demand, pending_demand)
     metrics = {
         "loss": loss,
         "psnr": psnr(out.rgb, gt_image),
@@ -105,6 +116,7 @@ def train_step_impl(
         "n_isects": out.n_isects,
         "n_cands": out.n_cands,
         "n_alive": jnp.sum(new_state.alive),
+        "demand": demand,
     }
     return new_state, metrics
 
@@ -176,6 +188,13 @@ class Trainer:
         # adaptive intersection budgets, keyed by render resolution;
         # bucketed to bound recompiles (SURVEY.md §7 "bucketed recompile")
         self._isect_budgets: dict = {}
+        # device-side running max of [n_cands, n_isects] since the last
+        # host look — overflow between sync points is detected, logged
+        # with its drop count, and regrown (never silent). Always a (2,)
+        # int32 array: swapping None in and out would change the jit
+        # signature and recompile the whole step.
+        self._pending_demand: jax.Array = jnp.zeros((2,), jnp.int32)
+        self.overflow_events: int = 0
 
     _BUDGET_BUCKET = 131072
     # headroom over observed demand; 1.15 measured better than 1.3 on v5e
@@ -205,12 +224,37 @@ class Trainer:
         if new != cur:
             self._isect_budgets[(h, w)] = new
 
+    def _check_overflow(self, h: int, w: int, n_cands: int, n_isects: int):
+        """Log budget overflows with their drop counts (SURVEY.md §7
+        hard-part 3: truncation must be visible), then regrow."""
+        exp_b, lay_b = self._budget_for(h, w)
+        if exp_b and n_cands > exp_b:
+            self.overflow_events += 1
+            print(
+                f"[opensplat_tpu] isect expansion budget overflow at "
+                f"{w}x{h}: demand {n_cands} > budget {exp_b} "
+                f"({n_cands - exp_b} candidates dropped in >=1 recent "
+                f"step); regrowing"
+            )
+        if lay_b and n_isects > lay_b:
+            self.overflow_events += 1
+            print(
+                f"[opensplat_tpu] isect layout budget overflow at "
+                f"{w}x{h}: demand {n_isects} > budget {lay_b} "
+                f"({n_isects - lay_b} intersections dropped in >=1 recent "
+                f"step); regrowing"
+            )
+        self._update_budget(h, w, n_cands, n_isects)
+
     def run_step(self, step: int) -> StepOutcome:
         cfg = self.cfg
         cam = self.cameras[self.sampler.next()]
         factor = get_downscale_factor(step, cfg)
         gt = cam.get_image(factor)
         h, w = gt.shape[0], gt.shape[1]
+        if (h, w) != self.last_hw:
+            # demand is budget-keyed by resolution; don't mix streams
+            self._pending_demand = jnp.zeros((2,), jnp.int32)
         self.last_hw = (h, w)
         sh_deg = sh_degrees_for_step(step, cfg)
         means_lr = means_lr_schedule(
@@ -234,13 +278,17 @@ class Trainer:
             accumulate,
             self.renderer,
             *self._budget_for(h, w),
+            pending_demand=self._pending_demand,
         )
+        self._pending_demand = metrics["demand"]
         # budget feedback needs a host sync; check at a coarse cadence
-        # (warm-up steps + every 10th + refine boundaries cover growth)
+        # (warm-up steps + every 10th + refine boundaries cover growth).
+        # metrics["demand"] carries the device-side max over ALL steps
+        # since the last look, so overflow in between is still caught.
         if step <= 3 or step % 10 == 0 or step % cfg.refine_every == 0:
-            self._update_budget(
-                h, w, int(metrics["n_cands"]), int(metrics["n_isects"])
-            )
+            d = np.asarray(metrics["demand"])
+            self._check_overflow(h, w, int(d[0]), int(d[1]))
+            self._pending_demand = jnp.zeros((2,), jnp.int32)
 
         if step % cfg.refine_every == 0 and step > cfg.warmup_length:
             self._refine(step)
@@ -291,11 +339,15 @@ class Trainer:
             self.state = self.state.replace(stats=zero_stats(self.state.alive.shape[0]))
 
     def render(self, cam, step: int):
+        """Inference render with its own budget feedback: if the frame's
+        intersection demand overflowed the current budget (dropping the
+        stream tail), the budget regrows and the frame re-renders once —
+        val/snapshot images are never silently truncated."""
         cfg = self.cfg
         factor = get_downscale_factor(step, cfg)
         h = int(cam.height / factor)
         w = int(cam.width / factor)
-        return render_image(
+        args = (
             self.state.params,
             self.state.alive,
             jnp.asarray(cam.cam_to_world, jnp.float32),
@@ -307,8 +359,19 @@ class Trainer:
             w,
             sh_degrees_for_step(step, cfg),
             self.renderer,
-            *self._budget_for(h, w),
         )
+        rgb, n_cands, n_isects = render_image(*args, *self._budget_for(h, w))
+        if self.renderer in ("tiled", "pallas"):
+            exp_b, lay_b = self._budget_for(h, w)
+            # budget 0 = renderer default floor (see rasterize_pallas)
+            eff_exp = exp_b or max(8 * self.state.alive.shape[0], 128)
+            eff_lay = lay_b or eff_exp
+            nc, ni = int(n_cands), int(n_isects)
+            if nc > eff_exp or ni > eff_lay:
+                self._update_budget(h, w, nc, ni)
+                if self._budget_for(h, w) != (exp_b, lay_b):
+                    rgb, _, _ = render_image(*args, *self._budget_for(h, w))
+        return rgb
 
 
 @partial(
@@ -323,11 +386,13 @@ def render_image(
     height: int, width: int, sh_deg: int, renderer: str,
     isect_budget: int = 0, layout_budget: int = 0,
 ):
-    """Jitted inference render (val images, --val-render, final PSNR)."""
+    """Jitted inference render (val images, --val-render, final PSNR).
+    Returns (rgb, n_cands, n_isects) — the demand counters feed
+    Trainer.render's budget feedback."""
     out = render_forward(
         params, alive, cam_to_world, fx, fy, cx, cy, height, width, sh_deg,
         jnp.asarray(DEFAULT_BACKGROUND, jnp.float32),
         renderer=renderer, isect_budget=isect_budget,
         layout_budget=layout_budget,
     )
-    return out.rgb
+    return out.rgb, out.n_cands, out.n_isects

@@ -166,3 +166,63 @@ def test_budget_hysteresis():
     tr2._isect_budgets = {}
     tr2._update_budget(64, 64, 100_000, 100_000)
     assert tr2._budget_for(64, 64) == (0, 0)
+
+
+def test_overflow_is_logged_and_regrown(capsys):
+    """An undersized isect budget must produce a visible overflow log at
+    the next sync point and regrow the budget (SURVEY.md §7 hard-part 3:
+    no silent truncation) — including overflow at steps BETWEEN host sync
+    points, carried by the device-side pending-demand max."""
+    cams = _make_cameras(n_cams=2, H=64, W=64)
+    gt_state = _ground_truth_state()
+    targets = _render_targets(gt_state, cams)
+    for cam, img in zip(cams, targets):
+        cam.set_image(img)
+
+    pts = np.asarray(gt_state.params.means)[np.asarray(gt_state.alive)]
+    rgb = np.full((pts.shape[0], 3), 128, np.uint8)
+    cfg = TrainConfig(
+        num_iters=100, sh_degree=1, num_downscales=0, refine_every=1000,
+        capacity_round=64,
+    )
+    state = init_model(pts, rgb, sh_degree=1, capacity=64,
+                       capacity_round=64, seed=3)
+    trainer = Trainer(state, cams, cfg, renderer="tiled")
+
+    # deliberately undersized budgets for this scene
+    trainer._isect_budgets[(64, 64)] = (128, 128)
+    # steps 4..9 are NOT sync points: overflow there must still be seen
+    # at step 10 via the pending-demand max
+    for step in range(4, 11):
+        trainer.run_step(step)
+    out = capsys.readouterr().out
+    assert "budget overflow" in out, out
+    assert "dropped" in out
+    assert trainer.overflow_events >= 1
+    grown = trainer._budget_for(64, 64)
+    assert grown[1] > 128  # layout budget regrew
+
+    # and the regrown budget now covers the demand (no further overflow)
+    trainer.overflow_events = 0
+    for step in range(11, 21):
+        trainer.run_step(step)
+    assert trainer.overflow_events == 0
+
+
+def test_render_budget_feedback():
+    """Trainer.render never returns a silently-truncated frame: with an
+    undersized budget it regrows and re-renders; the result matches a
+    render with a generous budget."""
+    cams = _make_cameras(n_cams=1, H=64, W=64)
+    gt_state = _ground_truth_state()
+    cfg = TrainConfig(num_iters=100, sh_degree=1, num_downscales=0)
+    trainer = Trainer(gt_state, cams, cfg, renderer="tiled")
+
+    trainer._isect_budgets[(64, 64)] = (128, 128)
+    img = np.asarray(trainer.render(cams[0], step=50))
+    assert trainer._budget_for(64, 64)[1] > 128
+
+    trainer2 = Trainer(gt_state, cams, cfg, renderer="tiled")
+    trainer2._isect_budgets[(64, 64)] = (1 << 16, 1 << 16)
+    ref = np.asarray(trainer2.render(cams[0], step=50))
+    np.testing.assert_allclose(img, ref, atol=1e-5)
