@@ -168,9 +168,14 @@ def map_gaussian_to_intersects(
     tile_bounds,
 ) -> Tuple[jax.Array, jax.Array]:
     """(isect_ids_sorted, gaussian_ids_sorted) — the reference emits
-    unsorted 64-bit keys (forward.cu:107-143) then sorts; TPU has no
-    int64 sort so this returns the (tile_id, depth)-sorted stream
-    directly: isect_ids as (tile_id, depth_bits) int32 pairs."""
+    unsorted 64-bit keys `(tile_id << 32) | depth_bits` (forward.cu:132-137)
+    then radix-sorts them; TPU has no int64 sort so this returns the
+    lexicographically (tile_id, depth_bits)-sorted stream directly:
+    isect_ids as (I, 2) int32 pairs [tile_id, depth_bits], where
+    depth_bits is the float32 bit pattern of the camera-space depth
+    (monotone for positive depths — the same key trick). Entries past the
+    true intersection count carry the sentinel pair (n_tiles, INT32_MAX)
+    and gaussian id == num_points."""
     tb_x, tb_y = tile_bounds[0], tile_bounds[1]
     width = tb_x * 16
     height = tb_y * 16
@@ -179,23 +184,37 @@ def map_gaussian_to_intersects(
     ).astype(jnp.int32)
     proj = _proj_like(xys, depths, radii, num_tiles_hit_arr, height, width)
     binned = bin_gaussians(proj, height, width, int(num_intersects))
-    isect_ids = jnp.stack(
-        [binned.tile_ids,
-         jax.lax.bitcast_convert_type(
-             jnp.zeros_like(binned.tile_ids, jnp.float32), jnp.int32)],
-        axis=-1,
+    depth_bits_g = jax.lax.bitcast_convert_type(
+        depths.astype(jnp.float32), jnp.int32
     )
+    depth_bits = jnp.where(
+        binned.valid,
+        jnp.take(depth_bits_g, binned.gauss_ids, mode="fill",
+                 fill_value=jnp.iinfo(jnp.int32).max),
+        jnp.iinfo(jnp.int32).max,
+    )
+    isect_ids = jnp.stack([binned.tile_ids, depth_bits], axis=-1)
     return isect_ids, binned.gauss_ids
 
 
-def get_tile_bin_edges(num_intersects, isect_ids_sorted) -> jax.Array:
+def get_tile_bin_edges(
+    num_intersects, isect_ids_sorted, num_tiles: int | None = None
+) -> jax.Array:
     """(T, 2) [start, end) ranges from a tile-sorted id stream
-    (forward.cu:148-169)."""
+    (forward.cu:148-169).
+
+    Pass `num_tiles` (a static int, e.g. tb_x * tb_y) to make this
+    jittable — the tile count then never touches the host. Without it,
+    T is derived from the data with a host sync (legacy behavior, not
+    jittable)."""
     tile_ids = isect_ids_sorted[..., 0] if isect_ids_sorted.ndim == 2 else (
         isect_ids_sorted
     )
-    n_tiles = int(jnp.max(tile_ids[:num_intersects])) + 1 if num_intersects else 0
-    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    if num_tiles is None:
+        num_tiles = (
+            int(jnp.max(tile_ids[:num_intersects])) + 1 if num_intersects else 0
+        )
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(tile_ids, tile_range, side="left")
     end = jnp.searchsorted(tile_ids, tile_range, side="right")
     return jnp.stack([start, end], axis=-1).astype(jnp.int32)

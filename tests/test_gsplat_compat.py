@@ -114,6 +114,58 @@ def test_binning_entry_points():
     assert b[:, 1].max() <= isect_ids.shape[0]
 
 
+def test_isect_keys_kernel_fidelity():
+    """map_gaussian_to_intersects packs REAL depth bits (forward.cu:132-137
+    key semantics) and agrees with ops.binning's sorted stream; the keys
+    reproduce the reference's 64-bit (tile << 32) | depth_bits sort order."""
+    from opensplat_tpu.ops.binning import bin_gaussians, num_tiles
+
+    sc = _scene()
+    proj = project_gaussians(
+        jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]), 1.0,
+        jnp.asarray(sc["quats"]), jnp.asarray(sc["viewmat"]),
+        jnp.asarray(sc["projmat"]), sc["fx"], sc["fy"], sc["cx"], sc["cy"],
+        sc["H"], sc["W"],
+    )
+    cum = jnp.cumsum(proj.num_tiles_hit)
+    total = int(cum[-1])
+    assert total > 0
+    tb = (sc["W"] // 16, sc["H"] // 16, 1)
+    isect_ids, gauss_ids = gc.map_gaussian_to_intersects(
+        80, total, proj.xys, proj.depths, proj.radii, cum, tb,
+    )
+    ids = np.asarray(isect_ids[:total])
+    gids = np.asarray(gauss_ids[:total])
+
+    # depth bits are the float32 bit pattern of each entry's Gaussian depth
+    depth_bits = np.asarray(
+        jax.lax.bitcast_convert_type(proj.depths.astype(jnp.float32), jnp.int32)
+    )
+    np.testing.assert_array_equal(ids[:, 1], depth_bits[gids])
+
+    # the stream is sorted exactly like the reference's 64-bit key sort:
+    # (tile << 32) | depth_bits, non-decreasing (depths positive here)
+    key64 = (ids[:, 0].astype(np.int64) << 32) | ids[:, 1].astype(np.int64)
+    assert (np.diff(key64) >= 0).all()
+
+    # agreement with the production binning pipeline on the same scene
+    binned = bin_gaussians(proj, sc["H"], sc["W"], total)
+    np.testing.assert_array_equal(gids, np.asarray(binned.gauss_ids[:total]))
+    np.testing.assert_array_equal(ids[:, 0], np.asarray(binned.tile_ids[:total]))
+
+    # get_tile_bin_edges with a static num_tiles is jittable and matches
+    # both the host-sync variant and the binning pipeline's ranges
+    tb_x, tb_y = num_tiles(sc["H"], sc["W"])
+    jitted = jax.jit(
+        lambda i: gc.get_tile_bin_edges(None, i, num_tiles=tb_x * tb_y)
+    )
+    bins_j = np.asarray(jitted(isect_ids))
+    bins_host = np.asarray(gc.get_tile_bin_edges(total, isect_ids))
+    np.testing.assert_array_equal(bins_j[: bins_host.shape[0]], bins_host)
+    np.testing.assert_array_equal(bins_j[:, 0], np.asarray(binned.tile_start))
+    np.testing.assert_array_equal(bins_j[:, 1], np.asarray(binned.tile_end))
+
+
 def test_compute_cov2d_bounds_reexport():
     conics, radii, valid = gc.compute_cov2d_bounds(
         jnp.asarray([[4.0, 0.0, 4.0]])
