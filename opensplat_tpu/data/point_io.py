@@ -218,17 +218,65 @@ def _native_colmap_points3d(buf: bytes):
     return PointSet(points=xyz, colors=rgb)
 
 
+def _read_las_numpy(filename: str) -> PointSet:
+    """Uncompressed-LAS reader in pure numpy (no laspy needed) — the
+    native counterpart of the reference's PDAL path
+    (point_io.cpp:264-359). Handles LAS 1.0-1.4, point record formats
+    0-10 (XYZ always at record offset 0; RGB at the per-format offset)."""
+    with open(filename, "rb") as f:
+        header = f.read(375)
+        if header[:4] != b"LASF":
+            raise RuntimeError(f"{filename}: not a LAS file (bad signature)")
+        point_offset = int(np.frombuffer(header, "<u4", 1, 96)[0])
+        fmt = header[104]
+        if fmt & 0x80:
+            raise RuntimeError(
+                f"{filename}: LAZ-compressed points require the optional "
+                "laspy[lazrs] package"
+            )
+        rec_len = int(np.frombuffer(header, "<u2", 1, 105)[0])
+        n = int(np.frombuffer(header, "<u4", 1, 107)[0])
+        if n == 0 and len(header) >= 255:  # LAS 1.4 extended count
+            n = int(np.frombuffer(header, "<u8", 1, 247)[0])
+        scale = np.frombuffer(header, "<f8", 3, 131)
+        offset = np.frombuffer(header, "<f8", 3, 155)
+        f.seek(point_offset)
+        raw = np.frombuffer(f.read(n * rec_len), np.uint8).reshape(n, rec_len)
+
+    def field(off, dtype, count=1):
+        width = np.dtype(dtype).itemsize * count
+        return (
+            raw[:, off:off + width].copy().view(dtype).reshape(n, count)
+        )
+
+    xyz_i = field(0, "<i4", 3).astype(np.float64)
+    points = (xyz_i * scale[None, :] + offset[None, :]).astype(np.float32)
+
+    # RGB record offsets per point data record format (LAS 1.4 spec)
+    rgb_off = {2: 20, 3: 28, 5: 28, 7: 30, 8: 30, 10: 30}.get(int(fmt))
+    colors = None
+    if rgb_off is not None and rec_len >= rgb_off + 6:
+        rgb16 = field(rgb_off, "<u2", 3).astype(np.uint32)
+        if rgb16.max(initial=0) > 255:  # 16-bit color convention
+            rgb16 = rgb16 * 255 // 65535
+        colors = rgb16.astype(np.uint8)
+    return PointSet(points=points, colors=colors)
+
+
 def _read_las_point_set(filename: str) -> PointSet:
-    """LAS/LAZ via laspy when available (reference gates this behind PDAL,
-    point_io.cpp:264-359); raises the same style of error otherwise."""
+    """LAS/LAZ loader (reference gates this behind PDAL,
+    point_io.cpp:264-359): uncompressed .las reads natively via numpy;
+    .laz decompression uses laspy when installed."""
     try:
         import laspy  # type: ignore
     except ImportError as e:
-        raise RuntimeError(
-            "Unsupported file extension for this build (LAS/LAZ requires the "
-            "optional laspy package, mirroring the reference's optional PDAL "
-            "support)"
-        ) from e
+        if filename.lower().endswith(".laz"):
+            raise RuntimeError(
+                "LAZ decompression requires the optional laspy[lazrs] "
+                "package (mirroring the reference's optional PDAL support); "
+                "uncompressed .las needs no extra packages"
+            ) from e
+        return _read_las_numpy(filename)
     las = laspy.read(filename)
     points = np.stack([las.x, las.y, las.z], axis=1).astype(np.float32)
     colors = None

@@ -13,6 +13,7 @@ from opensplat_tpu.data.point_io import (
     PointSet,
     read_colmap_points3d,
     read_ply_point_set,
+    read_point_set,
     save_point_set,
 )
 
@@ -358,3 +359,77 @@ def test_camera_pyramid_cache(tmp_path):
     assert half.shape == (24, 32, 3)
     assert cam.get_image(2) is half  # cached
     assert cam.get_image(1).shape == (48, 64, 3)
+
+
+def _write_las(path, pts, rgb=None, fmt=None, version=(1, 2)):
+    """Minimal LAS writer for tests (spec-conformant header, formats 0/2/7)."""
+    if fmt is None:
+        fmt = 0 if rgb is None else 2
+    rec_len = {0: 20, 2: 26, 3: 34, 7: 36}[fmt]
+    rgb_off = {2: 20, 3: 28, 7: 30}.get(fmt)
+    n = pts.shape[0]
+    scale = np.array([0.001, 0.001, 0.001])
+    offset = pts.min(axis=0)
+    hdr_size = 227 if version < (1, 4) else 375
+    header = bytearray(hdr_size)
+    header[0:4] = b"LASF"
+    header[24] = version[0]
+    header[25] = version[1]
+    header[94:96] = np.uint16(hdr_size).tobytes()  # header size
+    header[96:100] = np.uint32(hdr_size).tobytes()  # point data offset
+    header[104] = fmt
+    header[105:107] = np.uint16(rec_len).tobytes()
+    if version < (1, 4):
+        header[107:111] = np.uint32(n).tobytes()
+    else:
+        header[247:255] = np.uint64(n).tobytes()
+    header[131:155] = scale.astype("<f8").tobytes()
+    header[155:179] = offset.astype("<f8").tobytes()
+    recs = np.zeros((n, rec_len), np.uint8)
+    xyz_i = np.round((pts - offset) / scale).astype("<i4")
+    recs[:, 0:12] = xyz_i.view(np.uint8).reshape(n, 12)
+    if rgb is not None and rgb_off is not None:
+        rgb16 = (rgb.astype(np.uint32) * 65535 // 255).astype("<u2")
+        recs[:, rgb_off:rgb_off + 6] = rgb16.view(np.uint8).reshape(n, 6)
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(recs.tobytes())
+
+
+def test_las_reader_numpy(tmp_path):
+    """Uncompressed LAS reads without laspy (reference's optional PDAL
+    path, point_io.cpp:264-359): XYZ descaling + 16-bit RGB."""
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-50, 50, (200, 3)).astype(np.float64)
+    rgb = rng.integers(0, 256, (200, 3)).astype(np.uint8)
+
+    # format 2 (RGB), LAS 1.2
+    p = str(tmp_path / "cloud.las")
+    _write_las(p, pts, rgb, fmt=2)
+    ps = read_point_set(p)
+    assert ps.count() == 200
+    np.testing.assert_allclose(ps.points, pts.astype(np.float32), atol=2e-3)
+    np.testing.assert_array_equal(ps.colors, rgb)
+
+    # format 0 (no color), LAS 1.4 extended count
+    p0 = str(tmp_path / "nocolor.las")
+    _write_las(p0, pts, None, fmt=0, version=(1, 4))
+    ps0 = read_point_set(p0)
+    assert ps0.count() == 200 and ps0.colors is None
+    np.testing.assert_allclose(ps0.points, pts.astype(np.float32), atol=2e-3)
+
+    # format 7 (LAS 1.4 new-style RGB at offset 30)
+    p7 = str(tmp_path / "f7.las")
+    _write_las(p7, pts, rgb, fmt=7, version=(1, 4))
+    ps7 = read_point_set(p7)
+    np.testing.assert_array_equal(ps7.colors, rgb)
+
+    # LAZ without laspy: clear actionable error
+    import shutil
+    pz = str(tmp_path / "cloud.laz")
+    shutil.copy(p, pz)
+    try:
+        import laspy  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="laspy"):
+            read_point_set(pz)
