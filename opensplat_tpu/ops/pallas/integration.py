@@ -47,6 +47,13 @@ SEGSUM_SORT_THRESHOLD = int(
     __import__("os").environ.get("OPENSPLAT_TPU_SEGSUM_THRESHOLD", 0)
 )
 
+# sorted-stream reduction backend: the Pallas streaming one-hot-matmul
+# segment sum (segsum.py) by default; OPENSPLAT_TPU_SEGSUM_KERNEL=0
+# falls back to the XLA multi-pass cumsum + boundary-gather scheme.
+SEGSUM_PALLAS = (
+    __import__("os").environ.get("OPENSPLAT_TPU_SEGSUM_KERNEL", "1") != "0"
+)
+
 # exact tile-ellipse culling pays for its 6 extra stream cumsums only on
 # large candidate streams (measured v5e: -1.5% at ~0.8M, +20% at ~8.5M);
 # below this candidate budget binning skips the cull. Module-level so
@@ -167,24 +174,34 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
             (gauss_ids,) + tuple(grecs[k] for k in range(5)),
             num_keys=1, is_stable=False,
         )
-        cols9 = unpack5(*out[1:])
         cnt = isect_counts.astype(jnp.int32)
         ends_g = jnp.minimum(jnp.cumsum(cnt), i)
-        cs8 = jnp.cumsum(jnp.stack(cols9[0:8], axis=1), axis=0)
-        # (I, 8): vx, vy, vA, vB, vC, vopac, vr, vg
-        cs1 = jnp.cumsum(cols9[8])  # v_b
-        # segments are CONSECUTIVE in gid-sorted order (gaussian g's run
-        # starts where g-1's ends), so the segment-start prefix values
-        # are the end values shifted by one row — one C-scale gather per
-        # table instead of two
-        end8 = jnp.where(ends_g[:, None] > 0,
-                         cs8[jnp.maximum(ends_g - 1, 0)], 0.0)
-        end1 = jnp.where(ends_g > 0, cs1[jnp.maximum(ends_g - 1, 0)], 0.0)
-        end9 = jnp.concatenate([end8, end1[:, None]], axis=1)
-        start9 = jnp.concatenate(
-            [jnp.zeros((1, 9), jnp.float32), end9[:-1]], axis=0
-        )
-        acc = end9 - start9
+        if SEGSUM_PALLAS:
+            # one streaming pass: gaussian-block grid + one-hot matmul
+            # (direct per-segment f32 sums — no multi-pass cumsum, no
+            # boundary gathers, no cumsum-difference cancellation)
+            from .segsum import pallas_segment_sum
+
+            acc = pallas_segment_sum(
+                out[0], tuple(out[1:]), ends_g, interpret=_interpret()
+            )
+        else:
+            cols9 = unpack5(*out[1:])
+            cs8 = jnp.cumsum(jnp.stack(cols9[0:8], axis=1), axis=0)
+            # (I, 8): vx, vy, vA, vB, vC, vopac, vr, vg
+            cs1 = jnp.cumsum(cols9[8])  # v_b
+            # segments are CONSECUTIVE in gid-sorted order (gaussian g's
+            # run starts where g-1's ends), so the segment-start prefix
+            # values are the end values shifted by one row — one C-scale
+            # gather per table instead of two
+            end8 = jnp.where(ends_g[:, None] > 0,
+                             cs8[jnp.maximum(ends_g - 1, 0)], 0.0)
+            end1 = jnp.where(ends_g > 0, cs1[jnp.maximum(ends_g - 1, 0)], 0.0)
+            end9 = jnp.concatenate([end8, end1[:, None]], axis=1)
+            start9 = jnp.concatenate(
+                [jnp.zeros((1, 9), jnp.float32), end9[:-1]], axis=0
+            )
+            acc = end9 - start9
     v_xys = acc[:, 0:2]
     v_conics = acc[:, 2:5]
     v_opac = acc[:, 5].reshape(opac.shape)
