@@ -67,6 +67,20 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "dense", "tiled", "pallas"])
     p.add_argument("--capacity", type=int, default=None,
                    help="Fixed Gaussian capacity (default: auto)")
+    p.add_argument("--distributed", action="store_true",
+                   help="Join a multi-host fleet before training: "
+                   "jax.distributed.initialize via OPENSPLAT_COORDINATOR/"
+                   "OPENSPLAT_NUM_PROCESSES/OPENSPLAT_PROCESS_ID (or TPU-pod "
+                   "auto-detection). Combine with --data-parallel -1 to "
+                   "train over every chip of every host (launch recipe in "
+                   "parallel/distributed.py)")
+    p.add_argument("--data-parallel", type=int, default=0, metavar="D",
+                   help="Camera data-parallelism: train D cameras per "
+                   "step, one per device, with gradient all-reduce over "
+                   "the chip interconnect (D=-1 uses every device; the "
+                   "scaling capability the reference lists as an open "
+                   "goal, README.md:268). Each step consumes D cameras, "
+                   "so divide -n accordingly for equal epochs")
     p.add_argument("--checkpoint-every", type=int, default=-1,
                    help="Write a native full-state checkpoint every N steps")
     p.add_argument("--ckpt-dir", default="",
@@ -83,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write a self-contained HTML training report "
                    "(loss/PSNR/population curves + render-vs-GT snapshots) "
                    "— the headless stand-in for the reference's visualizer")
+    p.add_argument("--oracle-check", action="store_true",
+                   help="After training, reload the saved scene and render "
+                   "one view through the NumPy conformance oracle "
+                   "(gsplat-cpu port), cross-checking the saved file "
+                   "against the TPU pipeline's render")
     p.add_argument("--version", action="version", version="opensplat_tpu 0.1.0")
     return p
 
@@ -130,6 +149,18 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax
     import numpy as np
+
+    if args.distributed:
+        from .parallel.distributed import initialize_from_env
+
+        if initialize_from_env():
+            print(
+                f"Distributed: process {jax.process_index()}/"
+                f"{jax.process_count()}, {len(jax.local_devices())} local / "
+                f"{len(jax.devices())} global devices"
+            )
+        else:
+            print("Distributed: no cluster detected, single-process run")
 
     _enable_compilation_cache()
 
@@ -228,7 +259,26 @@ def main(argv=None) -> int:
         )
 
     renderer = pick_renderer(cfg.renderer)
-    trainer = Trainer(state, cams, cfg, renderer=renderer)
+    if args.data_parallel:
+        from .parallel.dp_trainer import DPTrainer
+
+        n_data = args.data_parallel
+        if n_data < 0:
+            n_data = len(jax.devices())
+        n_data = min(n_data, len(jax.devices()))
+        mesh = None
+        if jax.process_count() > 1:
+            # host-major data axis so the gradient psum pre-reduces over
+            # ICI before crossing DCN once (parallel/distributed.py)
+            from .parallel.distributed import global_dp_mesh
+
+            mesh = global_dp_mesh()
+            n_data = mesh.shape["data"]
+        print(f"Camera data-parallel training over {n_data} devices")
+        trainer = DPTrainer(state, cams, cfg, renderer=renderer,
+                            mesh=mesh, n_data=n_data)
+    else:
+        trainer = Trainer(state, cams, cfg, renderer=renderer)
 
     from .utils.metrics import MetricsLogger, profile_trace
 
@@ -310,6 +360,34 @@ def main(argv=None) -> int:
         translation=input_data.translation,
     )
     print(f"Wrote {cfg.output}")
+
+    if args.oracle_check and cfg.output.endswith(".ply"):
+        from .models.splat_model import DEFAULT_BACKGROUND
+        from .oracle.scene_check import oracle_render_scene
+        from .oracle.scene_check import psnr as np_psnr
+        from .train import sh_degrees_for_step
+
+        check_cam = val_cam if val_cam is not None else cams[0]
+        ckstate, _ = load_ply(
+            cfg.output, keep_crs=cfg.keep_crs, scale=input_data.scale,
+            translation=input_data.translation,
+        )
+        factor = get_downscale_factor(cfg.num_iters, cfg)
+        ours = np.asarray(trainer.render(check_cam, cfg.num_iters))
+        oracle_img = oracle_render_scene(
+            ckstate.params, ckstate.alive, check_cam.cam_to_world,
+            check_cam.fx / factor, check_cam.fy / factor,
+            check_cam.cx / factor, check_cam.cy / factor,
+            ours.shape[0], ours.shape[1],
+            sh_degrees_for_step(cfg.num_iters, cfg),
+            np.asarray(DEFAULT_BACKGROUND, np.float32),
+        )
+        agree = np_psnr(ours, oracle_img)
+        print(
+            f"oracle-check [{check_cam.file_path}]: saved-scene oracle "
+            f"render vs pipeline render PSNR {agree:.2f} dB "
+            f"({'OK' if agree >= 30.0 else 'MISMATCH'})"
+        )
 
     if val_cam is not None:
         import jax.numpy as jnp

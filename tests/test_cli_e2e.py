@@ -101,7 +101,7 @@ def synthetic_project(tmp_path_factory):
     return str(root)
 
 
-def test_cli_end_to_end(synthetic_project, tmp_path):
+def test_cli_end_to_end(synthetic_project, tmp_path, capsys):
     out = str(tmp_path / "out" / "scene.ply")
     os.makedirs(os.path.dirname(out))
     val_dir = str(tmp_path / "val")
@@ -117,8 +117,15 @@ def test_cli_end_to_end(synthetic_project, tmp_path):
         "--val",
         "--val-render", val_dir,
         "--save-every", "20",
+        "--oracle-check",
     ])
     assert rc == 0
+    # the saved scene cross-checks against the NumPy oracle render
+    oracle_lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("oracle-check")
+    ]
+    assert oracle_lines and "OK" in oracle_lines[0], oracle_lines
     assert os.path.exists(out)
     assert os.path.exists(str(tmp_path / "out" / "cameras.json"))
     stem, ext = os.path.splitext(out)
@@ -162,3 +169,47 @@ def test_parser_defaults_match_reference():
     assert a.stop_screen_size_at == 4000
     assert a.split_screen_size == 0.05
     assert a.val_image == "random"
+
+
+def test_cli_data_parallel(synthetic_project, tmp_path, capsys):
+    """--data-parallel trains on the (virtual CPU) device mesh end-to-end
+    from the CLI — the usable multi-device path (VERDICT round-1 item 1)."""
+    out = str(tmp_path / "dp.ply")
+    rc = cli.main([
+        synthetic_project,
+        "-o", out,
+        "-n", "24",
+        "--num-downscales", "0",
+        "--warmup-length", "5",
+        "--refine-every", "10",
+        "--renderer", "tiled",
+        "--data-parallel", "4",
+    ])
+    assert rc == 0
+    assert "data-parallel training over 4 devices" in capsys.readouterr().out
+    assert os.path.exists(out)
+
+
+def test_parity_report_harness(synthetic_project, tmp_path):
+    """tools/parity_report.py runs end-to-end on a synthetic project and
+    emits the BASELINE table + saved-scene oracle cross-check (the
+    harness is dataset-ready for banana/truck the moment data exists)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import parity_report
+
+    out = str(tmp_path / "rep")
+    rc = parity_report.main([
+        synthetic_project, "-n", "30", "--val-every", "15",
+        "--renderer", "tiled", "--out", out,
+    ])
+    assert rc == 0
+    rep = json.load(open(out + ".json"))
+    assert rep["num_iters"] == 30
+    assert len(rep["curve"]) == 2
+    for row in rep["curve"]:
+        assert row["steps_per_sec"] > 0
+        assert np.isfinite(row["val_psnr"])
+    assert rep["oracle_check"]["ok"], rep["oracle_check"]
+    assert os.path.exists(out + ".md")
+    assert os.path.exists(rep["scene"])
