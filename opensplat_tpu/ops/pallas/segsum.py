@@ -53,12 +53,15 @@ def _unpack_bits(bits):
     return hi, lo
 
 
-def _segsum_kernel(ends_ref, planes_hbm, out_ref,
+def _segsum_kernel(win_ref, planes_hbm, out_ref,
                    pbuf, psem, *, g_blk, r_chunk, n_rows):
+    # win_ref: (2, n_blocks) int32 per-BLOCK window bounds — scalar
+    # prefetch lives in SMEM (1 MB), so a (C,)-sized array would not fit
+    # at 1M+ capacity; only the per-block reductions ride along
     i = pl.program_id(0)
     g0 = i * g_blk
-    w_start = jnp.where(i == 0, jnp.int32(0), ends_ref[jnp.maximum(g0 - 1, 0)])
-    w_end = ends_ref[g0 + g_blk - 1]
+    w_start = win_ref[0, i]
+    w_end = win_ref[1, i]
     base0 = pl.multiple_of(w_start - jax.lax.rem(w_start, r_chunk), r_chunk)
     n_sub = jnp.where(w_end > base0, pl.cdiv(w_end - base0, r_chunk), 0)
 
@@ -144,6 +147,12 @@ def pallas_segment_sum(gid_sorted, planes_sorted, ends, interpret=False):
         [ends.astype(jnp.int32),
          jnp.broadcast_to(ends[-1].astype(jnp.int32), (c_pad - c,))]
     )
+    # per-block [w_start, w_end) windows: the only scalars the kernel
+    # needs (SMEM-sized; a (C,) prefetch overflows SMEM at 1M capacity)
+    wends = ends_pad.reshape(c_pad // g_blk, g_blk)[:, g_blk - 1]
+    win = jnp.stack(
+        [jnp.concatenate([jnp.zeros((1,), jnp.int32), wends[:-1]]), wends]
+    )
     # int32 stack: f32 concat/copies FLUSH DENORMAL BIT PATTERNS on TPU
     # (see module docstring) — bitcast each plane to int32 FIRST
     planes8 = jnp.stack(
@@ -172,7 +181,7 @@ def pallas_segment_sum(gid_sorted, planes_sorted, ends, interpret=False):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((10, c_pad), jnp.float32)],
         interpret=interpret,
-    )(ends_pad, planes8)[0]
+    )(win, planes8)[0]
     acc9 = jnp.concatenate(
         [acc10[:8], acc10[8:9] + acc10[9:10]], axis=0
     )
