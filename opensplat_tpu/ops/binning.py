@@ -40,6 +40,14 @@ import jax.numpy as jnp
 
 from .projection import BLOCK_X, BLOCK_Y, ProjectedGaussians
 
+# candidate expansion backend: the Pallas streaming kernel
+# (pallas/expand.py: one-hot-matmul segmented broadcasts + in-kernel
+# tile math/cull) by default; OPENSPLAT_TPU_EXPAND_KERNEL=0 falls back
+# to the XLA delta-scatter+cumsum path below.
+USE_EXPAND_KERNEL = (
+    __import__("os").environ.get("OPENSPLAT_TPU_EXPAND_KERNEL", "1") != "0"
+)
+
 
 class BinnedGaussians(NamedTuple):
     gauss_ids: jax.Array  # (L,) int32 sorted by (tile, depth); C = invalid
@@ -181,6 +189,67 @@ def bin_gaussians(
     n_tiles = tb_x * tb_y
     c = proj.num_tiles_hit.shape[0]
     out_size = max_isects if layout_size is None else layout_size
+
+    use_kernel = (
+        USE_EXPAND_KERNEL
+        and align == 1
+        and layout_size is None
+        and max_isects % 128 == 0
+        and max_isects < 2**24
+    )
+    if use_kernel:
+        import jax as _jax
+
+        from .pallas.expand import pallas_expand_bin
+
+        depth_bits_g = jax.lax.bitcast_convert_type(
+            proj.depths.astype(jnp.float32), jnp.int32
+        )
+        if opacities is not None:
+            s_max_g = jnp.log(
+                jnp.maximum(opacities.reshape(-1).astype(jnp.float32), 1e-12)
+                / alpha_thresh
+            )
+            tile_id, depth_bits, gid, isect_counts = pallas_expand_bin(
+                proj.num_tiles_hit, proj.tile_min, proj.tile_max,
+                depth_bits_g, height, width, max_isects,
+                xys=jax.lax.stop_gradient(proj.xys),
+                conics=jax.lax.stop_gradient(proj.conics),
+                s_max=s_max_g, cull=True,
+                interpret=_jax.default_backend() != "tpu",
+            )
+        else:
+            tile_id, depth_bits, gid, _ = pallas_expand_bin(
+                proj.num_tiles_hit, proj.tile_min, proj.tile_max,
+                depth_bits_g, height, width, max_isects,
+                interpret=_jax.default_backend() != "tpu",
+            )
+            isect_counts = proj.num_tiles_hit.astype(jnp.int32)
+
+        tile_sorted, _, gid_sorted = jax.lax.sort(
+            (tile_id, depth_bits, gid), num_keys=2, is_stable=True
+        )
+        tile_range = jax.lax.optimization_barrier(
+            jnp.arange(n_tiles, dtype=jnp.int32)
+        )
+        tile_start = jnp.searchsorted(
+            tile_sorted, tile_range, side="left"
+        ).astype(jnp.int32)
+        tile_end = jnp.searchsorted(
+            tile_sorted, tile_range, side="right"
+        ).astype(jnp.int32)
+        return BinnedGaussians(
+            gauss_ids=gid_sorted,
+            tile_ids=tile_sorted,
+            tile_start=tile_start,
+            tile_end=tile_end,
+            n_isects=(
+                jnp.sum(proj.num_tiles_hit) if opacities is None
+                else jnp.sum(isect_counts)
+            ),
+            valid=tile_sorted < n_tiles,
+            isect_counts=isect_counts,
+        )
 
     cnt = proj.num_tiles_hit
     cum = jnp.cumsum(cnt)  # (C,)

@@ -269,7 +269,15 @@ def rasterize_pallas(
         tile_max=tile_max,
         mask=radii > 0,
     )
-    use_cull = max_isects >= CULL_MIN_CANDIDATES
+    from ..binning import USE_EXPAND_KERNEL
+
+    # with the expansion kernel the cull's extra stream passes are gone
+    # (it rides the same one-hot matmul), so culling pays at EVERY size;
+    # the XLA fallback keeps the measured candidate-count gate
+    kernel_ok = (
+        USE_EXPAND_KERNEL and max_isects % 128 == 0 and max_isects < 2**24
+    )
+    use_cull = kernel_ok or max_isects >= CULL_MIN_CANDIDATES
     binned = bin_gaussians(
         proj_like, height, width, max_isects,
         opacities=jax.lax.stop_gradient(opacities) if use_cull else None,
