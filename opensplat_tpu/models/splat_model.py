@@ -51,7 +51,11 @@ def render_forward(
     renderer: str = "dense",
     isect_budget: int = 0,
     layout_budget: int = 0,
+    fov_width: Optional[int] = None,
+    fov_height: Optional[int] = None,
 ) -> RenderOutputs:
+    """fov_width/fov_height: render a BAND of a larger image with the
+    full frame's EWA fov clamp (parallel/gaussian_shard.py)."""
     viewmat, full_proj, cam_pos = camera_matrices(cam_to_world, fx, fy, width, height)
 
     proj = project_gaussians(
@@ -69,6 +73,8 @@ def render_forward(
         width,
         mode="gpu",
         valid_mask=alive,
+        fov_width=fov_width,
+        fov_height=fov_height,
         # opacity-aware tile bboxes (binning only; radii/mask keep the
         # reference 3-sigma semantics — see project_gaussians)
         opacities=jax.lax.stop_gradient(jax.nn.sigmoid(params.opacities)),

@@ -66,6 +66,8 @@ def project_gaussians(
     valid_mask: Optional[jax.Array] = None,
     opacities: Optional[jax.Array] = None,
     alpha_thresh: float = 1.0 / 255.0,
+    fov_width: Optional[int] = None,
+    fov_height: Optional[int] = None,
 ) -> ProjectedGaussians:
     """Project N 3D Gaussians to 2D screen space.
 
@@ -89,8 +91,12 @@ def project_gaussians(
     # the expanded scalar math, and the stacks add layout copies).
     # cov2d = T cov3d T^T = V V^T with V = T M, T = J R_vm,
     # M = R * glob_scale * diag(scales).
-    tan_fovx = 0.5 * img_width / fx
-    tan_fovy = 0.5 * img_height / fy
+    # fov_width/fov_height let a BAND of a larger image render with the
+    # full image's EWA clamp limits (parallel/gaussian_shard.py): the
+    # 1.3x-fov ty/tx clamp must match the full-frame render or gaussians
+    # beyond the band's own (smaller) fov get different cov2d
+    tan_fovx = 0.5 * (fov_width if fov_width is not None else img_width) / fx
+    tan_fovy = 0.5 * (fov_height if fov_height is not None else img_height) / fy
     lim_x = 1.3 * tan_fovx
     lim_y = 1.3 * tan_fovy
     # guard z==0 for dead/behind slots; they are masked out downstream

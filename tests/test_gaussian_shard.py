@@ -1,0 +1,125 @@
+"""Gaussian-sharded rendering/training on the virtual mesh (SURVEY.md §7
+phase 2): capacity axis sharded over 'model', per-camera all-gather of
+frustum-compacted subsets, banded rasterization, reduce-scatter of
+gradients back to owner shards — parity-tested against the replicated
+path, with the compiled collective schedule inspected."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from opensplat_tpu.models.splat_model import DEFAULT_BACKGROUND, render_forward
+from opensplat_tpu.parallel.gaussian_shard import (
+    gs_render,
+    gs_train_step,
+    shard_state,
+)
+from opensplat_tpu.parallel.mesh import make_mesh
+from opensplat_tpu.train import train_step
+
+from test_parallel import CFG, LR, _scene
+
+H = W = 64
+M = 4  # model shards (band height 16 = one tile row each)
+
+
+def _mesh():
+    return make_mesh(n_data=1, n_model=M, devices=jax.devices()[:M])
+
+
+def _cam_args(cams):
+    return dict(
+        cam_to_world=jnp.asarray(cams[0]), fx=40.0, fy=40.0,
+        cx=W / 2.0, cy=H / 2.0,
+    )
+
+
+@pytest.mark.parametrize("renderer", ["dense", "tiled"])
+def test_gs_render_matches_replicated(renderer):
+    if len(jax.devices()) < M:
+        pytest.skip("needs devices")
+    state, cams, _ = _scene(1)
+    mesh = _mesh()
+    sh_state = shard_state(mesh, state)
+    args = _cam_args(cams)
+
+    ref = render_forward(
+        state.params, state.alive, args["cam_to_world"],
+        args["fx"], args["fy"], args["cx"], args["cy"],
+        H, W, 1, jnp.asarray(DEFAULT_BACKGROUND, jnp.float32),
+        renderer=renderer,
+    )
+    rgb, n_vis = gs_render(
+        sh_state, args["cam_to_world"], args["fx"], args["fy"],
+        args["cx"], args["cy"], mesh, H, W, 1,
+        v_budget=state.alive.shape[0] // M, renderer=renderer,
+    )
+    assert int(n_vis) <= state.alive.shape[0] // M
+    np.testing.assert_allclose(
+        np.asarray(rgb), np.asarray(ref.rgb), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_gs_train_step_matches_unsharded():
+    """One Gaussian-sharded training step == the replicated train_step:
+    parameters, densify statistics (radii visibility crossing band
+    boundaries included), loss."""
+    if len(jax.devices()) < M:
+        pytest.skip("needs devices")
+    state, cams, _ = _scene(1)
+    mesh = _mesh()
+    sh_state = shard_state(mesh, state)
+    args = _cam_args(cams)
+    gt = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (H, W, 3)), jnp.float32
+    )
+
+    ref_state, ref_m = train_step(
+        state, args["cam_to_world"], args["fx"], args["fy"], args["cx"],
+        args["cy"], gt, LR, H, W, 1, CFG, True, "dense",
+    )
+    new_state, m = gs_train_step(
+        sh_state, args["cam_to_world"], args["fx"], args["fy"], args["cx"],
+        args["cy"], gt, LR, mesh, H, W, 1, CFG, True,
+        v_budget=state.alive.shape[0] // M, renderer="dense",
+    )
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]), rtol=1e-5)
+    assert int(m["n_visible"]) == int(ref_m["n_visible"])
+    for name in ("means", "scales", "quats", "features_dc", "opacities"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(new_state.params, name)),
+            np.asarray(getattr(ref_state.params, name)),
+            rtol=2e-4, atol=1e-5, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(new_state.stats.xys_grad_norm),
+        np.asarray(ref_state.stats.xys_grad_norm),
+        rtol=2e-4, atol=1e-8,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_state.stats.vis_counts),
+        np.asarray(ref_state.stats.vis_counts),
+    )
+
+
+def test_gs_collective_schedule():
+    """The compiled step contains exactly the collectives the design
+    calls for: an all-gather (visible subsets) in the forward and a
+    reduce-scatter (gradient return) in the backward."""
+    if len(jax.devices()) < M:
+        pytest.skip("needs devices")
+    state, cams, _ = _scene(1)
+    mesh = _mesh()
+    sh_state = shard_state(mesh, state)
+    args = _cam_args(cams)
+    gt = jnp.zeros((H, W, 3), jnp.float32)
+
+    lowered = gs_train_step.lower(
+        sh_state, args["cam_to_world"], args["fx"], args["fy"], args["cx"],
+        args["cy"], gt, LR, mesh, H, W, 1, CFG, True,
+        v_budget=state.alive.shape[0] // M, renderer="dense",
+    )
+    hlo = lowered.compile().as_text()
+    assert "all-gather" in hlo or "all-gather-start" in hlo, "no all-gather"
+    assert "reduce-scatter" in hlo, "no reduce-scatter"
