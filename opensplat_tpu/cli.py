@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Resume from the newest native checkpoint in "
                    "--ckpt-dir if one exists (crash/preemption recovery; "
                    "pair with --checkpoint-every)")
+    p.add_argument("--serve", type=int, default=0, metavar="PORT",
+                   help="Serve the --report-dir live over HTTP during "
+                   "training (auto-refreshing page — the headless "
+                   "counterpart of the reference's visualizer window)")
     p.add_argument("--report-dir", default="",
                    help="Write a self-contained HTML training report "
                    "(loss/PSNR/population curves + render-vs-GT snapshots) "
@@ -288,6 +292,22 @@ def main(argv=None) -> int:
         from .utils.report import TrainingReport
 
         report = TrainingReport(args.report_dir)
+        if args.serve:
+            # live training view: the report rewrites during training
+            # (auto-refresh page) and a stdlib HTTP server makes it
+            # reachable from a browser — the headless counterpart of the
+            # reference's Pangolin window (visualizer.cpp:1-179)
+            import functools
+            import http.server
+            import threading
+
+            handler = functools.partial(
+                http.server.SimpleHTTPRequestHandler,
+                directory=args.report_dir,
+            )
+            httpd = http.server.ThreadingHTTPServer(("", args.serve), handler)
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            print(f"Live training view: http://localhost:{args.serve}/report.html")
 
     def save_intermediate(step):
         stem, ext = os.path.splitext(cfg.output)
@@ -335,6 +355,8 @@ def main(argv=None) -> int:
                     rgb = np.asarray(trainer.render(val_cam, step))
                     gt = val_cam.get_image(get_downscale_factor(step, cfg))
                     report.snapshot(step, rgb, np.asarray(gt))
+                if args.serve or step % (display_step * 10) == 0:
+                    report.write(live=True)
         if cfg.save_every > 0 and step % cfg.save_every == 0:
             save_intermediate(step)
         if cfg.checkpoint_every > 0 and step % cfg.checkpoint_every == 0:

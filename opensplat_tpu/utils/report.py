@@ -84,12 +84,19 @@ class TrainingReport:
              "gt": _png_b64(gt) if gt is not None else None}
         )
 
-    def write(self, filename: str = "report.html") -> str:
+    def write(self, filename: str = "report.html", live: bool = False) -> str:
+        """live=True adds an auto-refresh tag: rewritten every few dozen
+        steps by the CLI (and optionally served via --serve), the page
+        becomes a during-training view — the headless upgrade of the
+        reference's interactive visualizer window (visualizer.cpp)."""
         parts = [
             "<!doctype html><meta charset='utf-8'>",
+            "<meta http-equiv='refresh' content='5'>" if live else "",
             "<title>opensplat_tpu training report</title>",
             "<body style='font-family:system-ui;max-width:720px;margin:2em auto'>",
-            "<h1>Training report</h1>",
+            "<h1>Training report</h1>" + (
+                " <p><i>live — refreshes every 5 s</i></p>" if live else ""
+            ),
         ]
         if self.steps:
             parts.append(

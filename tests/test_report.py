@@ -26,3 +26,19 @@ def test_report_snapshot_cap(tmp_path):
     assert len(r.snapshots) == 3
     assert r.snapshots[0]["step"] == 0  # first kept
     assert r.snapshots[-1]["step"] == 5  # latest kept
+
+
+def test_live_report_refreshes(tmp_path):
+    """live=True emits an auto-refreshing page (the during-training view
+    served by --serve; stand-in upgrade for visualizer.cpp)."""
+    from opensplat_tpu.utils.report import TrainingReport
+
+    rep = TrainingReport(str(tmp_path))
+    rep.log(1, 0.5, 20.0, 100)
+    rep.log(2, 0.4, 21.0, 100)
+    path = rep.write(live=True)
+    content = open(path).read()
+    assert "http-equiv='refresh'" in content
+    assert "live" in content
+    static = open(rep.write()).read()
+    assert "http-equiv='refresh'" not in static
