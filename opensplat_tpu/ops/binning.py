@@ -140,7 +140,15 @@ def count_isects(
     over tile rects (each Gaussian covers a tile rectangle). Used for
     adaptive budget feedback — unlike BinnedGaussians.n_isects it is exact
     even when the current budget already overflowed.
+
+    align == 1 needs no histogram at all: the padded total equals
+    sum(num_tiles_hit) (each Gaussian's bbox area), so the four C-row
+    corner scatters (~9 ms each at 1M on v5e, serially chained) are
+    skipped entirely.
     """
+    total = jnp.sum(proj.num_tiles_hit)
+    if align == 1:
+        return total, total
     tb_x, tb_y = num_tiles(height, width)
     live = (proj.num_tiles_hit > 0).astype(jnp.int32)
     tmin, tmax = proj.tile_min, proj.tile_max
@@ -152,7 +160,6 @@ def count_isects(
         .at[tmax[:, 1], tmax[:, 0]].add(live)
     )
     hist = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:tb_y, :tb_x]
-    total = jnp.sum(proj.num_tiles_hit)
     padded = ((hist + align - 1) // align) * align
     return total, jnp.sum(padded)
 
@@ -226,8 +233,13 @@ def bin_gaussians(
             )
             isect_counts = proj.num_tiles_hit.astype(jnp.int32)
 
+        # gid as a third sort key instead of is_stable: the candidate
+        # stream is gaussian-major (gid non-decreasing), so stable tie
+        # order within equal (tile, depth) IS ascending gid — identical
+        # output, but without the iota operand XLA adds for stable sorts
+        # (4 -> 3 sorted arrays, ~5 ms at 6.8M on v5e)
         tile_sorted, _, gid_sorted = jax.lax.sort(
-            (tile_id, depth_bits, gid), num_keys=2, is_stable=True
+            (tile_id, depth_bits, gid), num_keys=3, is_stable=False
         )
         tile_range = jax.lax.optimization_barrier(
             jnp.arange(n_tiles, dtype=jnp.int32)
@@ -347,8 +359,10 @@ def bin_gaussians(
     else:
         isect_counts = proj.num_tiles_hit.astype(jnp.int32)
 
+    # gid as third key == stable order (stream is gid-major), minus the
+    # stable-sort iota operand (see kernel path above)
     tile_sorted, _, gid_sorted = jax.lax.sort(
-        (tile_id, depth_bits, gid), num_keys=2, is_stable=True
+        (tile_id, depth_bits, gid), num_keys=3, is_stable=False
     )
 
     # T queries over the big sorted stream: cheap (log(I) passes of

@@ -147,3 +147,32 @@ def test_cull_with_split_layout_budget():
     np.testing.assert_array_equal(
         np.asarray(small.tile_end), np.asarray(full.tile_end)
     )
+
+
+def test_count_isects_fast_path_matches_histogram():
+    """align=1 short-circuits to sum(num_tiles_hit); pin it against the
+    4-corner-scatter histogram (align>1 path) computed at align=1
+    semantics, and check the align>1 padded total is a proper bound."""
+    from opensplat_tpu.ops.binning import count_isects
+
+    s = make_scene(n=250, seed=11)
+    proj = _project_gpu(s, 250)
+    H, W = s["H"], s["W"]
+    tb_x, tb_y = num_tiles(H, W)
+
+    total, padded1 = count_isects(proj, H, W, align=1)
+    nth = np.asarray(proj.num_tiles_hit)
+    assert int(total) == nth.sum()
+    assert int(padded1) == nth.sum()
+
+    # histogram path (align=128): per-tile counts padded up
+    tmin, tmax = np.asarray(proj.tile_min), np.asarray(proj.tile_max)
+    hist = np.zeros((tb_y, tb_x), np.int64)
+    for g in range(250):
+        if nth[g] == 0:
+            continue
+        hist[tmin[g, 1]:tmax[g, 1], tmin[g, 0]:tmax[g, 0]] += 1
+    want_padded = ((hist + 127) // 128 * 128).sum()
+    total128, padded128 = count_isects(proj, H, W, align=128)
+    assert int(total128) == nth.sum()
+    assert int(padded128) == want_padded
