@@ -352,9 +352,14 @@ def _bwd_kernel(
         con_r = fac * col_r
         con_g = fac * col_g
         con_b = fac * col_b
-        bk_r = buf_rgb[:, 0:1] + jnp.dot(con_r, M_sfx_excl, preferred_element_type=jnp.float32)
-        bk_g = buf_rgb[:, 1:2] + jnp.dot(con_g, M_sfx_excl, preferred_element_type=jnp.float32)
-        bk_b = buf_rgb[:, 2:3] + jnp.dot(con_b, M_sfx_excl, preferred_element_type=jnp.float32)
+        # one (3*PIX, K) suffix matmul instead of three (PIX, K) ones
+        bk = jnp.dot(
+            jnp.concatenate([con_r, con_g, con_b], axis=0), M_sfx_excl,
+            preferred_element_type=jnp.float32,
+        )
+        bk_r = buf_rgb[:, 0:1] + bk[0:PIX]
+        bk_g = buf_rgb[:, 1:2] + bk[PIX:2 * PIX]
+        bk_b = buf_rgb[:, 2:3] + bk[2 * PIX:]
 
         v_alpha = (
             (col_r * T_k - bk_r * ra) * v_r
@@ -366,18 +371,34 @@ def _bwd_kernel(
         v_alpha = jnp.where(comp, v_alpha, 0.0)
         v_sigma = -op * vis_u * v_alpha  # (PIX, K)
 
-        def psum(z):  # reduce over the tile's pixels -> (1, K)
-            return jnp.sum(z, axis=0, keepdims=True)
-
-        g_x = psum(v_sigma * (A * dx + B * dy))
-        g_y = psum(v_sigma * (B * dx + C * dy))
-        g_A = psum(0.5 * v_sigma * dx * dx)
-        g_B = psum(0.5 * v_sigma * dx * dy)
-        g_C = psum(0.5 * v_sigma * dy * dy)
-        g_op = psum(vis_u * v_alpha)
-        g_r = psum(fac * v_r)
-        g_g = psum(fac * v_g)
-        g_b = psum(fac * v_b)
+        # all nine pixel reductions in ONE ones-vector matmul on the MXU
+        # ((1, PIX) x (PIX, 9K)) instead of nine VPU sublane reductions
+        quants = jnp.concatenate(
+            [
+                v_sigma * (A * dx + B * dy),
+                v_sigma * (B * dx + C * dy),
+                0.5 * v_sigma * dx * dx,
+                0.5 * v_sigma * dx * dy,
+                0.5 * v_sigma * dy * dy,
+                vis_u * v_alpha,
+                fac * v_r,
+                fac * v_g,
+                fac * v_b,
+            ],
+            axis=1,
+        )  # (PIX, 9K)
+        # HIGHEST: the default bf16 pass would round each pixel
+        # contribution before accumulating (the VPU reduction this
+        # replaces was exact f32); the ones operand is bf16-exact either
+        # way and the matmul is tiny (256 x 9*128)
+        sums = jnp.dot(
+            jnp.ones((1, PIX), jnp.float32), quants,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (1, 9K)
+        g_x, g_y, g_A, g_B, g_C, g_op, g_r, g_g, g_b = (
+            sums[:, k * K:(k + 1) * K] for k in range(9)
+        )
         grec = jnp.concatenate(
             [
                 pack_bf16_pair(g_x, g_y),
