@@ -41,9 +41,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# gaussians per output block (lane dim) / stream rows per DMA chunk
-G_BLOCK = 512
-R_CHUNK = 1024
+# gaussians per output block (lane dim) / stream rows per DMA chunk;
+# env-tunable for on-chip A/B sweeps (see expand.py)
+import os as _os
+
+G_BLOCK = int(_os.environ.get("OPENSPLAT_TPU_SEGSUM_GBLOCK", 512))
+R_CHUNK = int(_os.environ.get("OPENSPLAT_TPU_SEGSUM_RCHUNK", 1024))
 
 
 def _unpack_bits(bits):

@@ -58,10 +58,19 @@ def main():
     ap.add_argument("--sparse-frac", type=float, default=0.5,
                     help="fraction of true points revealed in sparse.ply "
                     "(forces densification to recover the rest)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="render GT on the accelerator (default: CPU — "
+                    "project generation should never claim the TPU)")
     args = ap.parse_args()
 
+    if not args.tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import cv2
+    import jax
     import jax.numpy as jnp
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from opensplat_tpu.models.gaussians import GaussianParams
     from opensplat_tpu.models.splat_model import render_forward

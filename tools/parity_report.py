@@ -38,7 +38,12 @@ def main(argv=None) -> int:
     ap.add_argument("--downscale-factor", type=float, default=1.0)
     ap.add_argument("--no-oracle", action="store_true",
                     help="Skip the saved-scene oracle cross-check")
+    ap.add_argument("--cpu", action="store_true",
+                    help="Force CPU execution (opensplat.cpp:28 parity)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -57,6 +62,10 @@ def main(argv=None) -> int:
 
     _enable_compilation_cache()
     import jax
+
+    if args.cpu:
+        # the axon plugin wins over the env var alone (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
 
     cfg = TrainConfig(input=args.input, num_iters=args.num_iters,
                       downscale_factor=max(args.downscale_factor, 1.0))
