@@ -89,6 +89,7 @@ def unpack_bf16_pair(packed: jax.Array):
     lo = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
     return hi, lo
 _BIG = 2**30  # python int: jnp scalars would be captured consts in kernels
+_LOG_T_EPS = float(__import__("math").log(T_EPS))
 
 
 def _cum_matrices():
@@ -184,17 +185,32 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
         a = jnp.where(used, alpha, 0.0)
         la = jnp.log1p(-a)
         excl = jnp.dot(la, M_excl, preferred_element_type=jnp.float32)
-        Tb = T_carry * jnp.exp(excl)
-        stop = used & (Tb * (1.0 - a) <= T_EPS)
+        # stop test in log space (saves the exp the Tb formulation
+        # needed): T_carry*exp(excl)*(1-a) <= T_EPS  <=>
+        # log(T_carry) + excl + la <= log(T_EPS)
+        logT = jnp.log(jnp.maximum(T_carry, 1e-37))
+        stop = used & (logT + excl + la <= _LOG_T_EPS)
 
         gk = base + jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 1)
         stop_at = jnp.min(jnp.where(stop, gk, _BIG), axis=1, keepdims=True)
         fidx = jnp.minimum(fidx, stop_at)  # (PIX, 1)
 
-        comp = used & (gk < fidx)
-        a_eff = jnp.where(comp, a, 0.0)
-        la_eff = jnp.log1p(-a_eff)
-        excl_eff = jnp.dot(la_eff, M_excl, preferred_element_type=jnp.float32)
+        # a pixel's fidx can differ from `used` only when its crossing
+        # happened in THIS chunk (earlier crossings imply done=True and
+        # used=False), so when no pixel stopped here the masked replay
+        # equals the unmasked one — skip the second prefix matmul
+        def _with_stop():
+            comp = used & (gk < fidx)
+            a_eff = jnp.where(comp, a, 0.0)
+            la_eff = jnp.log1p(-a_eff)
+            excl_eff = jnp.dot(
+                la_eff, M_excl, preferred_element_type=jnp.float32
+            )
+            return a_eff, la_eff, excl_eff
+
+        a_eff, la_eff, excl_eff = jax.lax.cond(
+            jnp.any(stop), _with_stop, lambda: (a, la, excl)
+        )
         vis = a_eff * T_carry * jnp.exp(excl_eff)  # (PIX, K)
         rgb = rgb + jnp.dot(vis, col.T, preferred_element_type=jnp.float32)
         T_carry = T_carry * jnp.exp(jnp.sum(la_eff, axis=1, keepdims=True))
