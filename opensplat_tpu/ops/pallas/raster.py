@@ -360,7 +360,7 @@ def _bwd_kernel(
 
         alpha_b = jnp.where(comp, jnp.minimum(BWD_ALPHA_CLAMP, op * vis_u), 0.0)
         lra = -jnp.log1p(-alpha_b)
-        ra = jnp.exp(lra)
+        ra = 1.0 / (1.0 - alpha_b)  # == exp(lra), one reciprocal cheaper
         sfx = jnp.dot(lra, M_sfx_incl, preferred_element_type=jnp.float32)
         T_k = T_run * jnp.exp(sfx)  # (PIX, K)
         fac = alpha_b * T_k
