@@ -26,7 +26,7 @@ counts with one streaming pass:
     ty = off / bw (f32 division is exact-floor here: off <= 2^21,
     bw <= 2^11 keeps the quotient ulp far below 1/bw), tx = off - ty*bw,
     then the exact convex-QP tile-ellipse cull (binning.py semantics);
-  * outputs write back into an input-output-ALIASED (8, I) int32 stream
+  * outputs write back into an input-output-ALIASED (4, I) int32 stream
     prefilled with sentinels: rows owned & kept get (tile_id,
     depth_bits, gid), rows owned & culled get sentinels, rows owned by
     nobody keep their prefill — boundary chunks shared between blocks
@@ -48,15 +48,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..projection import BLOCK_X, BLOCK_Y
 
-G_BLOCK = 512
-R_CHUNK = 1024
+# block sizes are env-tunable for on-chip A/B sweeps: the one-hot
+# membership build costs G_BLOCK * n_rows VPU ops total (smaller G =
+# less compute, more grid steps + boundary-chunk RMWs)
+import os as _os
+
+G_BLOCK = int(_os.environ.get("OPENSPLAT_TPU_EXPAND_GBLOCK", 512))
+R_CHUNK = int(_os.environ.get("OPENSPLAT_TPU_EXPAND_RCHUNK", 1024))
+# sublane count of the aliased io stream: 8 (safe default — int32 tiles
+# are (8, 128) and some Mosaic versions reject sub-8-sublane DMA
+# windows) or 4 = 3 live planes + 1 pad, half the chunk DMA traffic —
+# flip via env once validated on the target Mosaic
+IO_PLANES = int(_os.environ.get("OPENSPLAT_TPU_EXPAND_IO_PLANES", 8))
 INT_MAX = 2**31 - 1
 
 # vals rows (bf16 byte planes unless noted)
 _NV = 32  # padded sublane count
 # 0-2: start bytes; 3-4: tmin_x; 5-6: tmin_y; 7-8: bw; 9-12: depth bytes
 # 13-14: mxq+32768 bytes; 15-16: myq+32768; 17: A (bf16 value);
-# 18: B; 19: C; 20: s_max; rest zero
+# 18: B; 19: C; 20: s_max; 29-30: local gid lo/hi bytes (rides the same
+# one-hot matmul as every other field — no second gid matmul); rest zero
+_GID_ROW = 29
 
 
 def _min_sigma_over_tile(mx, my, A, B, C, tx, ty, pos_slack):
@@ -126,7 +138,16 @@ def _expand_kernel(win_ref, starts_col, cum_col, vals, zeros_io, io_ref,
             buf.at[slot], io_ref.at[:, pl.ds(_base(j), r_chunk)], osem.at[slot]
         )
 
-    @pl.when(n_sub > 0)
+    def _needs_in(j):
+        # interior chunks are fully owned by this block and completely
+        # overwritten — only boundary chunks (shared with a neighbor
+        # block or holding never-owned prefill rows) are read-modify-
+        # written; skipping the read halves the io DMA traffic and
+        # removes the input wait from interior iterations
+        b = _base(j)
+        return jnp.logical_not((b >= w_start) & (b + r_chunk <= w_end))
+
+    @pl.when((n_sub > 0) & _needs_in(jnp.int32(0)))
     def _():
         _in_dma(jnp.int32(0), jnp.int32(0)).start()
 
@@ -134,19 +155,17 @@ def _expand_kernel(win_ref, starts_col, cum_col, vals, zeros_io, io_ref,
     ec = cum_col[:, 0:1]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, r_chunk), 1)
-    g_lane = jax.lax.broadcasted_iota(jnp.int32, (1, g_blk), 1)
-    l_lo = (g_lane & 255).astype(jnp.bfloat16)
-    l_hi = (g_lane >> 8).astype(jnp.bfloat16)
-    gid_vals = jnp.concatenate([l_lo, l_hi], axis=0)  # (2, G)
 
     def body(j, carry):
         slot = jax.lax.rem(j, 2)
 
-        @pl.when(j + 1 < n_sub)
+        @pl.when((j + 1 < n_sub) & _needs_in(j + 1))
         def _():
             _in_dma(j + 1, 1 - slot).start()
 
-        _in_dma(j, slot).wait()
+        @pl.when(_needs_in(j))
+        def _():
+            _in_dma(j, slot).wait()
         # this slot's previous write-back must have landed before reuse
         @pl.when(j >= 2)
         def _():
@@ -180,11 +199,10 @@ def _expand_kernel(win_ref, starts_col, cum_col, vals, zeros_io, io_ref,
             | (f[12:13].astype(jnp.int32) << 24)
         )
 
-        lg2 = jax.lax.dot_general(
-            gid_vals, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (2, R): local id lo/hi bytes of the owning gaussian
-        gid_r = g0 + (lg2[0:1] + 256.0 * lg2[1:2]).astype(jnp.int32)
+        # local id lo/hi bytes arrive through the SAME one-hot matmul
+        gid_r = g0 + (
+            f[_GID_ROW:_GID_ROW + 1] + 256.0 * f[_GID_ROW + 1:_GID_ROW + 2]
+        ).astype(jnp.int32)
 
         if cull:
             mxq = f[13:14] + 256.0 * f[14:15] - 32768.0
@@ -323,15 +341,25 @@ def pallas_expand_bin(
             jnp.concatenate([v.astype(jnp.float32), zf]).astype(jnp.bfloat16)
             for v in (conics[:, 0], conics[:, 1], conics[:, 2], s_max)
         ]
+    rows += [jnp.zeros((c_pad,), jnp.bfloat16)] * (_GID_ROW - len(rows))
+    # local (within-block) gid bytes: column index modulo the block size
+    lid = (jnp.arange(c_pad, dtype=jnp.int32) % g_blk)
+    rows += [
+        (lid & 255).astype(jnp.bfloat16),
+        (lid >> 8).astype(jnp.bfloat16),
+    ]
     rows += [jnp.zeros((c_pad,), jnp.bfloat16)] * (_NV - len(rows))
     vals = jnp.stack(rows, axis=0)  # (32, C_pad) bf16
 
+    # 4 sublanes: 3 live planes (tile, depth, gid) + 1 pad — half the
+    # per-chunk DMA traffic of an 8-plane buffer (the extra planes were
+    # copied in and back out unchanged)
     io0 = jnp.concatenate(
         [
             jnp.full((1, n_rows), n_tiles, jnp.int32),
             jnp.full((1, n_rows), INT_MAX, jnp.int32),
             jnp.full((1, n_rows), c, jnp.int32),
-            jnp.zeros((5, n_rows), jnp.int32),
+            jnp.zeros((IO_PLANES - 3, n_rows), jnp.int32),
         ],
         axis=0,
     )
@@ -354,7 +382,7 @@ def pallas_expand_bin(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 8, r_chunk), jnp.int32),
+            pltpu.VMEM((2, IO_PLANES, r_chunk), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -366,7 +394,7 @@ def pallas_expand_bin(
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((8, n_rows), jnp.int32),
+            jax.ShapeDtypeStruct((IO_PLANES, n_rows), jnp.int32),
             jax.ShapeDtypeStruct((8, c_pad), jnp.float32),
         ],
         input_output_aliases={4: 0},
