@@ -96,3 +96,27 @@ def test_multi_scene_sharded_over_data_axis():
     assert bool(jnp.all(jnp.isfinite(metrics["loss"])))
     # scene axis stays sharded over data
     assert new_stacked.params.means.sharding.spec[0] == "data"
+
+
+@pytest.mark.parametrize("renderer", ["tiled", "pallas"])
+def test_multi_scene_production_renderers(renderer):
+    """The vmapped scene batch supports the production renderers too
+    (jax's pallas_call vmap batching rule maps the scene axis onto the
+    kernel grid): per-scene losses match the unbatched train_step."""
+    s = 2
+    states, cams, gts = _scenes(s)
+    stacked = stack_states(states)
+    new_stacked, metrics = multi_scene_train_step(
+        stacked, jnp.asarray(cams),
+        jnp.full((s,), 40.0), jnp.full((s,), 40.0),
+        jnp.full((s,), W / 2.0), jnp.full((s,), H / 2.0),
+        jnp.asarray(gts), LR, H, W, 1, CFG, True, renderer,
+    )
+    for i in range(s):
+        _, m_ref = train_step(
+            states[i], jnp.asarray(cams[i]), 40.0, 40.0, W / 2.0, H / 2.0,
+            jnp.asarray(gts[i]), LR, H, W, 1, CFG, True, renderer,
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss"][i]), float(m_ref["loss"]), rtol=2e-5
+        )
