@@ -120,3 +120,35 @@ def test_multi_scene_production_renderers(renderer):
         np.testing.assert_allclose(
             float(metrics["loss"][i]), float(m_ref["loss"]), rtol=2e-5
         )
+
+
+@pytest.mark.parametrize("renderer", ["tiled", "pallas"])
+def test_sharded_multi_scene_matches_vmap(renderer):
+    """shard_map'd multi-scene (scene axis over `data`, per-device local
+    pipelines — the layout that actually scales Pallas scenes across a
+    real mesh) matches the plain vmapped batch."""
+    from opensplat_tpu.parallel.multi_scene import sharded_multi_scene_step
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    s = 2
+    states, cams, gts = _scenes(s)
+    stacked = stack_states(states)
+    args = (
+        jnp.asarray(cams), jnp.full((s,), 40.0), jnp.full((s,), 40.0),
+        jnp.full((s,), W / 2.0), jnp.full((s,), H / 2.0), jnp.asarray(gts),
+    )
+    ref_stacked, ref_m = multi_scene_train_step(
+        stacked, *args, LR, H, W, 1, CFG, True, renderer,
+    )
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    sh_stacked, sh_m = sharded_multi_scene_step(
+        stacked, *args, LR, mesh, H, W, 1, CFG, True, renderer,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_m["loss"]), np.asarray(ref_m["loss"]), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_stacked.params.means),
+        np.asarray(ref_stacked.params.means), rtol=2e-4, atol=1e-6,
+    )
