@@ -26,7 +26,7 @@ counts with one streaming pass:
     ty = off / bw (f32 division is exact-floor here: off <= 2^21,
     bw <= 2^11 keeps the quotient ulp far below 1/bw), tx = off - ty*bw,
     then the exact convex-QP tile-ellipse cull (binning.py semantics);
-  * outputs write back into an input-output-ALIASED (4, I) int32 stream
+  * outputs write back into an input-output-ALIASED (IO_PLANES, I) int32 stream
     prefilled with sentinels: rows owned & kept get (tile_id,
     depth_bits, gid), rows owned & culled get sentinels, rows owned by
     nobody keep their prefill — boundary chunks shared between blocks
