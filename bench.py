@@ -15,6 +15,83 @@ import time
 import numpy as np
 
 
+def run_dp_bench(d, n_points, h, renderer):
+    """Camera-DP train-step throughput on a d-device mesh (cameras/s =
+    steps/s * d). Runs on whatever devices exist (real chips, or the
+    virtual CPU mesh under XLA_FLAGS=--xla_force_host_platform_device_count)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from opensplat_tpu.config import TrainConfig
+    from opensplat_tpu.models.gaussians import init_model
+    from opensplat_tpu.optim.adam import means_lr_schedule
+    from opensplat_tpu.parallel.dp_trainer import dp_train_step
+    from opensplat_tpu.parallel.mesh import make_mesh
+
+    w = h
+    assert len(jax.devices()) >= d, (len(jax.devices()), d)
+    mesh = make_mesh(n_data=d, n_model=1, devices=jax.devices()[:d])
+    rep = NamedSharding(mesh, P())
+    cam = NamedSharding(mesh, P("data"))
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.5, 1.5, (n_points, 3)).astype(np.float32)
+    rgb = rng.integers(0, 255, (n_points, 3)).astype(np.uint8)
+    state = jax.device_put(
+        init_model(pts, rgb, sh_degree=3, capacity=n_points, seed=0), rep
+    )
+    cfg = TrainConfig(num_iters=30000, capacity_round=n_points)
+    c2ws = np.broadcast_to(np.eye(4, dtype=np.float32), (d, 4, 4)).copy()
+    c2ws[:, 2, 3] = 6.0 + 0.01 * np.arange(d)
+    args = [
+        jax.device_put(jnp.asarray(c2ws), cam),
+        jax.device_put(jnp.full((d,), 0.9 * w, jnp.float32), cam),
+        jax.device_put(jnp.full((d,), 0.9 * w, jnp.float32), cam),
+        jax.device_put(jnp.full((d,), w / 2.0, jnp.float32), cam),
+        jax.device_put(jnp.full((d,), h / 2.0, jnp.float32), cam),
+        jax.device_put(
+            jnp.asarray(rng.uniform(0, 1, (d, h, w, 3)).astype(np.float32)),
+            cam,
+        ),
+    ]
+    lr = means_lr_schedule(cfg.lr_means, cfg.lr_means_final, cfg.num_iters, 0)
+    pend = jax.device_put(jnp.zeros((2,), jnp.int32), rep)
+
+    def step(state, pend, ib=0, lb=0):
+        return dp_train_step(
+            state, *args, lr, pend, mesh, h, w, 3, cfg, True, renderer,
+            isect_budget=ib, layout_budget=lb,
+        )
+
+    state2, m = step(state, pend)
+    jax.block_until_ready(m["loss"])
+    ib = lb = 0
+    dmd = np.asarray(m["demand"])
+    if renderer in ("tiled", "pallas") and dmd[0] > 0:
+        bucket = 131072
+        fit = lambda v: (int(int(v) * 1.15) + bucket - 1) // bucket * bucket
+        ib = fit(dmd[0])
+        lb = fit(dmd[1]) if dmd[1] > 0 else 0
+        state2, m = step(state, pend, ib, lb)
+        jax.block_until_ready(m["loss"])
+
+    n_iters = int(os.environ.get("BENCH_ITERS", 20))
+    t0 = time.perf_counter()
+    st = state2
+    for _ in range(n_iters):
+        st, m = step(st, m["demand"], ib, lb)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_iters / dt
+    print(json.dumps({
+        "metric": f"dp_train_steps_per_sec[{renderer},{n_points}g,{h}px,dp{d}]",
+        "value": round(steps_per_sec, 3),
+        "unit": f"steps/s ({d} cameras/step)",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -34,6 +111,11 @@ def main():
     h = w = int(os.environ.get("BENCH_RES", 512))
     default_renderer = "pallas" if jax.default_backend() == "tpu" else "tiled"
     renderer = os.environ.get("BENCH_RENDERER", default_renderer)
+    # BENCH_DP=D: camera-data-parallel step over a D-device mesh
+    # (one camera per device, ONE gradient psum) — the v5e-8 target path
+    dp = int(os.environ.get("BENCH_DP", 0))
+    if dp:
+        return run_dp_bench(dp, n_points, h, renderer)
 
     rng = np.random.default_rng(0)
     pts = rng.uniform(-1.5, 1.5, (n_points, 3)).astype(np.float32)
