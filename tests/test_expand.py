@@ -123,3 +123,36 @@ def test_expand_cull_matches_xla_binning():
     np.testing.assert_array_equal(
         np.asarray(srt[2]), np.asarray(ref.gauss_ids)
     )
+
+
+def test_expand_chunk_aligned_windows_skip_rmw():
+    """Every block window starting/ending exactly on a chunk boundary:
+    with 512 gaussians of count 2 each (G_BLOCK=512, R_CHUNK=1024),
+    block windows are [0,1024), [1024,2048), ... — the interior-chunk
+    input-DMA skip covers EVERY chunk and the output must still match
+    the scalar reference (boundary RMW never fires)."""
+    from opensplat_tpu.ops.pallas import expand as ex
+
+    if ex.G_BLOCK != 512 or ex.R_CHUNK != 1024:
+        pytest.skip("non-default expand block knobs")
+    c = 1024  # 2 blocks, windows chunk-aligned
+    rng = np.random.default_rng(5)
+    tx0 = rng.integers(0, TBX - 2, (c,))
+    ty0 = rng.integers(0, H // 16 - 1, (c,))
+    boxes = dict(
+        cnt=np.full((c,), 2, np.int32),  # 2x1 boxes -> count 2
+        tile_min=np.stack([tx0, ty0], axis=1).astype(np.int32),
+        tile_max=np.stack([tx0 + 2, ty0 + 1], axis=1).astype(np.int32),
+        depth_bits=rng.uniform(0.1, 50.0, (c,)).astype(np.float32).view(np.int32),
+    )
+    n_rows = 2048
+    tile, depth, gid, counts = pallas_expand_bin(
+        jnp.asarray(boxes["cnt"]), jnp.asarray(boxes["tile_min"]),
+        jnp.asarray(boxes["tile_max"]), jnp.asarray(boxes["depth_bits"]),
+        H, W, n_rows, interpret=True,
+    )
+    rt, rd, rg = _np_expand(boxes, n_rows, c)
+    np.testing.assert_array_equal(np.asarray(tile), rt)
+    np.testing.assert_array_equal(np.asarray(depth), rd)
+    np.testing.assert_array_equal(np.asarray(gid), rg)
+    np.testing.assert_array_equal(np.asarray(counts), np.full((c,), 2))
