@@ -92,6 +92,72 @@ def run_dp_bench(d, n_points, h, renderer):
     }))
 
 
+def run_mp_bench(m, n_points, h, renderer):
+    """Gaussian-model-parallel train-step throughput on an m-device mesh
+    (capacity sharded 1/m per device; all-gather of visible subsets +
+    banded raster + reduce-scatter grads per step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opensplat_tpu.config import TrainConfig
+    from opensplat_tpu.models.gaussians import init_model
+    from opensplat_tpu.optim.adam import means_lr_schedule
+    from opensplat_tpu.parallel.gaussian_shard import gs_train_step, shard_state
+    from opensplat_tpu.parallel.mesh import make_mesh
+
+    w = h
+    assert len(jax.devices()) >= m, (len(jax.devices()), m)
+    mesh = make_mesh(n_data=1, n_model=m, devices=jax.devices()[:m])
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.5, 1.5, (n_points, 3)).astype(np.float32)
+    rgb = rng.integers(0, 255, (n_points, 3)).astype(np.uint8)
+    state = shard_state(
+        mesh, init_model(pts, rgb, sh_degree=3, capacity=n_points, seed=0)
+    )
+    cfg = TrainConfig(num_iters=30000, capacity_round=n_points)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.0, 0.0, 6.0]
+    gt = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+    lr = means_lr_schedule(cfg.lr_means, cfg.lr_means_final, cfg.num_iters, 0)
+
+    def step(state, ib=0, lb=0, v=n_points // m):
+        return gs_train_step(
+            state, jnp.asarray(c2w), 0.9 * w, 0.9 * w, w / 2.0, h / 2.0,
+            gt, lr, mesh, h, w, 3, cfg, True, v_budget=v,
+            renderer=renderer, isect_budget=ib, layout_budget=lb,
+        )
+
+    state2, mm = step(state)
+    jax.block_until_ready(mm["loss"])
+    dmd = np.asarray(mm["demand"])
+    ib = lb = 0
+    v = n_points // m
+    if dmd[2] > 0:
+        v = min(n_points // m, (int(dmd[2] * 1.3) + 1023) // 1024 * 1024)
+    if renderer in ("tiled", "pallas") and dmd[0] > 0:
+        bucket = 131072
+        fit = lambda x: (int(int(x) * 1.15) + bucket - 1) // bucket * bucket
+        ib = fit(dmd[0])
+        lb = fit(dmd[1]) if dmd[1] > 0 else 0
+    state2, mm = step(state, ib, lb, v)
+    jax.block_until_ready(mm["loss"])
+
+    n_iters = int(os.environ.get("BENCH_ITERS", 20))
+    t0 = time.perf_counter()
+    st = state2
+    for _ in range(n_iters):
+        st, mm = step(st, ib, lb, v)
+    jax.block_until_ready(mm["loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"mp_train_steps_per_sec[{renderer},{n_points}g,{h}px,mp{m}]",
+        "value": round(n_iters / dt, 3),
+        "unit": f"steps/s (capacity sharded 1/{m})",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -116,6 +182,11 @@ def main():
     dp = int(os.environ.get("BENCH_DP", 0))
     if dp:
         return run_dp_bench(dp, n_points, h, renderer)
+    # BENCH_MP=M: Gaussian-model-parallel step (capacity sharded 1/M —
+    # the memory-scaling axis for scenes beyond one chip's HBM)
+    mp = int(os.environ.get("BENCH_MP", 0))
+    if mp:
+        return run_mp_bench(mp, n_points, h, renderer)
 
     rng = np.random.default_rng(0)
     pts = rng.uniform(-1.5, 1.5, (n_points, 3)).astype(np.float32)

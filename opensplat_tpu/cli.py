@@ -81,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "scaling capability the reference lists as an open "
                    "goal, README.md:268). Each step consumes D cameras, "
                    "so divide -n accordingly for equal epochs")
+    p.add_argument("--model-parallel", type=int, default=0, metavar="M",
+                   help="Gaussian model-parallelism: shard the Gaussian "
+                   "set over M devices (all-gather of frustum-visible "
+                   "subsets, one image band per device, reduce-scatter "
+                   "of gradients; parameter/optimizer memory scales 1/M "
+                   "— for scenes too large for one chip's HBM). M=-1 "
+                   "uses every device; mutually exclusive with "
+                   "--data-parallel")
     p.add_argument("--checkpoint-every", type=int, default=-1,
                    help="Write a native full-state checkpoint every N steps")
     p.add_argument("--ckpt-dir", default="",
@@ -263,6 +271,11 @@ def main(argv=None) -> int:
         )
 
     renderer = pick_renderer(cfg.renderer)
+    if args.data_parallel and args.model_parallel:
+        raise SystemExit(
+            "--model-parallel and --data-parallel are mutually "
+            "exclusive (pick one scaling axis per run)"
+        )
     if args.data_parallel:
         from .parallel.dp_trainer import DPTrainer
 
@@ -281,6 +294,16 @@ def main(argv=None) -> int:
         print(f"Camera data-parallel training over {n_data} devices")
         trainer = DPTrainer(state, cams, cfg, renderer=renderer,
                             mesh=mesh, n_data=n_data)
+    elif args.model_parallel:
+        from .parallel.gaussian_shard import GSTrainer
+
+        n_model = args.model_parallel
+        if n_model < 0:
+            n_model = len(jax.devices())
+        n_model = min(n_model, len(jax.devices()))
+        print(f"Gaussian model-parallel training over {n_model} devices")
+        trainer = GSTrainer(state, cams, cfg, renderer=renderer,
+                            n_model=n_model)
     else:
         trainer = Trainer(state, cams, cfg, renderer=renderer)
 

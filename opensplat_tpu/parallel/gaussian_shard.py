@@ -31,21 +31,35 @@ exchanges rather than band-local approximations.
 """
 from __future__ import annotations
 
+import math
 from functools import partial
-from typing import Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import TrainConfig
 from ..models.densify import accumulate_stats
-from ..models.gaussians import GaussianParams, TrainState
+from ..models.gaussians import (
+    GaussianParams,
+    TrainState,
+    grow_capacity,
+    round_capacity,
+)
 from ..models.splat_model import DEFAULT_BACKGROUND, render_forward
 from ..ops.projection import project_gaussians
 from ..ops.camera import camera_matrices
 from ..ops.ssim import main_loss, psnr
-from ..optim.adam import adam_update
+from ..optim.adam import adam_update, means_lr_schedule
+from ..train import (
+    StepOutcome,
+    Trainer,
+    get_downscale_factor,
+    sh_degrees_for_step,
+)
+from .mesh import make_mesh
 
 
 def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
@@ -62,6 +76,15 @@ def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
     return jax.tree.map(put, state)
 
 
+def band_height(height: int, n_model: int) -> int:
+    """Rows per device band, tile-aligned and padded so n_model bands
+    cover any image height (the render canvas is n_model * band_height
+    rows; rows >= height are cropped after reassembly — tiles are
+    independent, so the cropped region is bit-identical to an unpadded
+    render and the pad tiles get zero loss cotangent)."""
+    return 16 * ((height + 16 * n_model - 1) // (16 * n_model))
+
+
 def _gs_render_core(
     params_shard: GaussianParams,
     alive_shard: jax.Array,
@@ -72,9 +95,9 @@ def _gs_render_core(
     isect_budget: int, layout_budget: int, n_model: int,
 ):
     """shard_map body: compact-gather-render one band. Returns
-    (band_rgb, band_radii_shard, n_visible_shard)."""
+    (band_rgb, radii_shard, n_visible_shard, demand (2,) int32)."""
     m = jax.lax.axis_index("model")
-    band_h = height // n_model
+    band_h = band_height(height, n_model)
 
     # frustum visibility of MY shard against the FULL frame (projection
     # is elementwise over N; rerunning it for the gathered set later
@@ -121,18 +144,17 @@ def _gs_render_core(
         isect_budget=isect_budget, layout_budget=layout_budget,
         fov_height=height,
     )
-    # full-frame radii per gathered row (a gaussian may be visible only
-    # in ANOTHER device's band; radii values agree across bands where
-    # visible, so pmax reconstructs the full-image radii), then my
-    # shard's rows scatter home (V-scale)
-    radii_all = jax.lax.pmax(out.radii, "model")  # (M*V,)
-    my_radii = jax.lax.dynamic_slice_in_dim(radii_all, m * v_budget, v_budget)
-    radii_shard = (
-        jnp.zeros_like(alive_shard, jnp.int32).at[idx].max(
-            my_radii, mode="drop"
-        )
+    # densify-stat radii come from the FULL-FRAME visibility projection
+    # above — for my shard's rows it is bit-identical to the replicated
+    # path's proj.radii (same inputs, same math, true image height), so
+    # no band pmax / scatter-home collective is needed at all
+    demand = jax.lax.pmax(
+        jnp.stack(
+            [out.n_cands.astype(jnp.int32), out.n_isects.astype(jnp.int32)]
+        ),
+        "model",
     )
-    return out.rgb, radii_shard, n_visible
+    return out.rgb, proj.radii, n_visible, demand
 
 
 @partial(
@@ -151,26 +173,26 @@ def gs_render(
     isect_budget: int = 0, layout_budget: int = 0,
 ):
     """Inference render with the capacity axis sharded over 'model'.
-    Returns (rgb (H, W, 3) row-sharded, max visible count per shard)."""
+    Returns (rgb (H, W, 3) row-sharded, max visible count per shard,
+    demand (2,) int32 = max [n_cands, n_isects] over the bands)."""
     n_model = mesh.shape["model"]
-    assert height % (16 * n_model) == 0, (height, n_model)
     background = jnp.asarray(DEFAULT_BACKGROUND, jnp.float32)
     capacity = state.alive.shape[0]
 
     def body(params, alive, c2w, fx_, fy_, cx_, cy_):
-        rgb, _, n_vis = _gs_render_core(
+        rgb, _, n_vis, demand = _gs_render_core(
             params, alive, jnp.zeros((capacity // n_model, 2), jnp.float32),
             c2w, fx_, fy_, cx_, cy_, height, width, sh_deg,
             background, v_budget, renderer, isect_budget, layout_budget,
             n_model,
         )
-        return rgb, jax.lax.pmax(n_vis, "model")
+        return rgb, jax.lax.pmax(n_vis, "model"), demand
 
-    rgb, n_vis = jax.shard_map(
+    rgb, n_vis, demand = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P("model"), P("model"), P(), P(), P(), P(), P()),
-        out_specs=(P("model"), P()),
+        out_specs=(P("model"), P(), P()),
         check_vma=False,
     )(
         state.params, state.alive,
@@ -178,7 +200,7 @@ def gs_render(
         jnp.asarray(fx, jnp.float32), jnp.asarray(fy, jnp.float32),
         jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
     )
-    return rgb, n_vis
+    return rgb[:height], n_vis, demand
 
 
 @partial(
@@ -201,26 +223,32 @@ def gs_train_step(
     renderer: str = "dense",
     isect_budget: int = 0,
     layout_budget: int = 0,
+    pending_demand=None,
 ) -> Tuple[TrainState, dict]:
     """One training step on Gaussian-sharded state: forward all-gather of
     frustum-compacted subsets, banded rasterization, reduce-scatter of
     gradients back to the owner shards (via the shard_map transpose),
-    shard-local Adam + densify statistics."""
+    shard-local Adam + densify statistics.
+
+    metrics["demand"] is a (3,) int32 [n_cands, n_isects,
+    max_shard_visible] running max (folded with `pending_demand`) — the
+    host budget feedback for the isect budgets AND the visible-subset
+    budget, so v_budget truncation between sync points is never silent
+    either (SURVEY.md §7 hard-part 3)."""
     n_model = mesh.shape["model"]
-    assert height % (16 * n_model) == 0, (height, n_model)
     background = jnp.asarray(DEFAULT_BACKGROUND, jnp.float32)
     capacity = state.alive.shape[0]
     shard_c = capacity // n_model
 
     def band_body(params, alive, shifts, c2w, fx_, fy_, cx_, cy_):
-        rgb, radii, n_vis = _gs_render_core(
+        rgb, radii, n_vis, demand = _gs_render_core(
             params, alive, shifts, c2w, fx_, fy_, cx_, cy_,
             height=height, width=width, sh_deg=sh_deg,
             background=background, v_budget=v_budget, renderer=renderer,
             isect_budget=isect_budget, layout_budget=layout_budget,
             n_model=n_model,
         )
-        return rgb, radii, jax.lax.pmax(n_vis, "model")
+        return rgb, radii, jax.lax.pmax(n_vis, "model"), demand
 
     render_band = jax.shard_map(
         band_body,
@@ -229,23 +257,28 @@ def gs_train_step(
             P("model"), P("model"), P("model"),
             P(), P(), P(), P(), P(),
         ),
-        out_specs=(P("model"), P("model"), P()),
+        out_specs=(P("model"), P("model"), P(), P()),
         check_vma=False,
     )
 
     def loss_fn(params, xys_shift):
-        rgb, radii, n_vis = render_band(
+        rgb, radii, n_vis, demand = render_band(
             params, state.alive, xys_shift,
             jnp.asarray(cam_to_world, jnp.float32),
             jnp.asarray(fx, jnp.float32), jnp.asarray(fy, jnp.float32),
             jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
         )
+        # crop the band padding (tiles are independent: rows [0, height)
+        # are identical to an unpadded render, pad rows get no cotangent)
+        rgb = rgb[:height]
         loss = main_loss(rgb, gt_image, cfg.ssim_weight)
-        return loss, (rgb, radii, n_vis)
+        return loss, (rgb, radii, n_vis, demand)
 
-    (loss, (rgb, radii, n_vis)), (g_params, g_xys) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True
-    )(state.params, jnp.zeros((capacity, 2), jnp.float32))
+    (loss, (rgb, radii, n_vis, demand)), (g_params, g_xys) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            state.params, jnp.zeros((capacity, 2), jnp.float32)
+        )
+    )
 
     lrs = GaussianParams(
         means=means_lr, scales=cfg.lr_scales, quats=cfg.lr_quats,
@@ -262,6 +295,9 @@ def gs_train_step(
 
     new_state = state.replace(params=new_params, opt=new_opt, stats=stats)
     del shard_c
+    demand3 = jnp.concatenate([demand, n_vis.astype(jnp.int32)[None]])
+    if pending_demand is not None:
+        demand3 = jnp.maximum(demand3, pending_demand)
     metrics = {
         "loss": loss,
         "psnr": psnr(rgb, gt_image),
@@ -269,5 +305,192 @@ def gs_train_step(
         "n_alive": jnp.sum(new_state.alive),
         # V-budget feedback: the largest per-shard visible count
         "max_shard_visible": n_vis,
+        "demand": demand3,
     }
     return new_state, metrics
+
+
+class GSTrainer(Trainer):
+    """Production trainer on Gaussian-sharded state (CLI --model-parallel).
+
+    Drop-in for train.Trainer with the capacity axis sharded P('model')
+    across the mesh: every step all-gathers the frustum-compacted visible
+    subsets, renders one image band per device, reduce-scatters parameter
+    gradients home, and runs Adam + densify statistics shard-local.
+    Parameter/optimizer/stat HBM scales ~1/M per device, so scenes too
+    large for one chip's memory train on M (BASELINE.md scaling row).
+
+    The refine machine (count_refine_needs / refine_step) runs directly
+    on the sharded state — the jitted programs are sharding-agnostic and
+    GSPMD inserts the refine collectives; capacity growth happens
+    host-side at a multiple of lcm(capacity_round, M) so shards stay
+    equal-sized.
+
+    Budget feedback follows Trainer's design with one more axis: besides
+    the per-band isect budgets, the static per-shard visible budget V
+    adapts from the max_shard_visible running max in metrics["demand"]
+    (a (3,) vector here) — truncation of the visible subset is logged
+    with its drop count and the budget regrown, never silent.
+    """
+
+    _V_BUCKET = 1024
+    _V_MARGIN = 1.3
+
+    def __init__(
+        self,
+        state: TrainState,
+        cameras: List,
+        cfg: TrainConfig,
+        renderer: str = "dense",
+        mesh: Optional[Mesh] = None,
+        n_model: Optional[int] = None,
+    ):
+        super().__init__(state, cameras, cfg, renderer=renderer)
+        if mesh is None:
+            n_model = n_model or len(jax.devices())
+            mesh = make_mesh(
+                n_data=1, n_model=n_model, devices=jax.devices()[:n_model]
+            )
+        self.mesh = mesh
+        self.n_model = mesh.shape["model"]
+        cap = state.alive.shape[0]
+        if cap % self._capacity_rounding():
+            state = grow_capacity(
+                state, round_capacity(cap + 1, self._capacity_rounding())
+            )
+        self.state = shard_state(mesh, state)
+        self._rep = NamedSharding(mesh, P())
+        self._pending_demand = self._zero_pending()
+        # visible-subset budget: start at the full shard (cannot
+        # truncate), then shrink/grow from max_shard_visible feedback
+        self._v_budget = self._shard_c()
+        self.v_overflow_events = 0
+
+    def _zero_pending(self):
+        return jax.device_put(jnp.zeros((3,), jnp.int32), self._rep)
+
+    def _shard_c(self) -> int:
+        return self.state.alive.shape[0] // self.n_model
+
+    def _capacity_rounding(self) -> int:
+        return math.lcm(self.cfg.capacity_round, getattr(self, "n_model", 1))
+
+    def _fit_v(self, demand: int):
+        cur = self._v_budget
+        shard_c = self._shard_c()
+        want = min(
+            shard_c,
+            ((int(demand * self._V_MARGIN) + self._V_BUCKET - 1)
+             // self._V_BUCKET) * self._V_BUCKET,
+        )
+        want = max(want, min(demand, shard_c), 1)
+        if demand > cur or want < cur * 0.6 or cur > shard_c:
+            self._v_budget = want
+
+    def _check_v_overflow(self, max_vis: int):
+        if max_vis > self._v_budget:
+            self.v_overflow_events += 1
+            print(
+                f"[opensplat_tpu] visible-subset budget overflow: shard "
+                f"demand {max_vis} > V budget {self._v_budget} "
+                f"({max_vis - self._v_budget} visible gaussians truncated "
+                f"in >=1 recent step); regrowing"
+            )
+        self._fit_v(max_vis)
+
+    def run_step(self, step: int) -> StepOutcome:
+        cfg = self.cfg
+        cam = self.cameras[self.sampler.next()]
+        factor = get_downscale_factor(step, cfg)
+        gt = cam.get_image(factor)
+        h, w = gt.shape[0], gt.shape[1]
+        if (h, w) != self.last_hw:
+            self._pending_demand = self._zero_pending()
+        self.last_hw = (h, w)
+        sh_deg = sh_degrees_for_step(step, cfg)
+        means_lr = means_lr_schedule(
+            cfg.lr_means, cfg.lr_means_final, cfg.num_iters, step - 1
+        )
+        accumulate = step < cfg.stop_split_at
+
+        self.state, metrics = gs_train_step(
+            self.state,
+            jnp.asarray(cam.cam_to_world, jnp.float32),
+            cam.fx / factor,
+            cam.fy / factor,
+            cam.cx / factor,
+            cam.cy / factor,
+            jnp.asarray(gt, jnp.float32),
+            means_lr,
+            self.mesh,
+            h,
+            w,
+            sh_deg,
+            cfg,
+            accumulate,
+            v_budget=self._v_budget,
+            renderer=self.renderer,
+            isect_budget=self._budget_for(h, w)[0],
+            layout_budget=self._budget_for(h, w)[1],
+            pending_demand=self._pending_demand,
+        )
+        self._pending_demand = metrics["demand"]
+        if step <= 3 or step % 10 == 0 or step % cfg.refine_every == 0:
+            d = np.asarray(metrics["demand"])
+            self._check_overflow(h, w, int(d[0]), int(d[1]))
+            self._check_v_overflow(int(d[2]))
+            self._pending_demand = self._zero_pending()
+
+        if step % cfg.refine_every == 0 and step > cfg.warmup_length:
+            # the jitted refine programs run on the sharded state (GSPMD
+            # collectives); growth/stat rebuilds re-pin to the mesh after
+            self._refine(step)
+            self.state = shard_state(self.mesh, self.state)
+            added = int((self.refine_metrics or {}).get("added", 0))
+            if added:
+                # densification may land every new gaussian in ONE shard:
+                # raise V proactively so the steps before the next sync
+                # point cannot truncate (d exists: a refine boundary is
+                # always a sync point above)
+                self._fit_v(min(self._shard_c(), int(d[2]) + added))
+
+        return StepOutcome(metrics)
+
+    def render(self, cam, step: int):
+        """gs_render with the Trainer's never-silent budget feedback:
+        any isect/V overflow regrows the budget and re-renders once."""
+        cfg = self.cfg
+        factor = get_downscale_factor(step, cfg)
+        h = int(cam.height / factor)
+        w = int(cam.width / factor)
+        sh_deg = sh_degrees_for_step(step, cfg)
+
+        def go():
+            return gs_render(
+                self.state,
+                jnp.asarray(cam.cam_to_world, jnp.float32),
+                cam.fx / factor, cam.fy / factor,
+                cam.cx / factor, cam.cy / factor,
+                self.mesh, h, w, sh_deg,
+                v_budget=self._v_budget, renderer=self.renderer,
+                isect_budget=self._budget_for(h, w)[0],
+                layout_budget=self._budget_for(h, w)[1],
+            )
+
+        rgb, n_vis, demand = go()
+        nv = int(n_vis)
+        redo = False
+        if nv > self._v_budget:
+            self._check_v_overflow(nv)
+            redo = True
+        if self.renderer in ("tiled", "pallas"):
+            exp_b, lay_b = self._budget_for(h, w)
+            eff_exp = exp_b or max(8 * self._v_budget * self.n_model, 128)
+            eff_lay = lay_b or eff_exp
+            nc, ni = int(demand[0]), int(demand[1])
+            if nc > eff_exp or ni > eff_lay:
+                self._update_budget(h, w, nc, ni)
+                redo = redo or self._budget_for(h, w) != (exp_b, lay_b)
+        if redo:
+            rgb, _, _ = go()
+        return rgb

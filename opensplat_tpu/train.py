@@ -206,6 +206,11 @@ class Trainer:
         # (expansion budget, layout budget); 0 = renderer default
         return self._isect_budgets.get((h, w), (0, 0))
 
+    def _capacity_rounding(self) -> int:
+        # capacity-growth granularity; subclasses with sharded capacity
+        # override so every shard stays equal-sized (gaussian_shard.py)
+        return self.cfg.capacity_round
+
     def _update_budget(self, h: int, w: int, n_cands: int, n_isects: int):
         if self.renderer not in ("tiled", "pallas"):
             return
@@ -316,7 +321,7 @@ class Trainer:
             n_alive, n_free, needed = int(n_alive), int(n_free), int(needed)
             if needed > n_free:
                 new_cap = round_capacity(
-                    int((n_alive + needed) * 1.25), cfg.capacity_round
+                    int((n_alive + needed) * 1.25), self._capacity_rounding()
                 )
                 self.state = grow_capacity(self.state, new_cap)
 

@@ -190,6 +190,26 @@ def test_cli_data_parallel(synthetic_project, tmp_path, capsys):
     assert os.path.exists(out)
 
 
+def test_cli_model_parallel(synthetic_project, tmp_path, capsys):
+    """--model-parallel trains with the Gaussian set sharded over the
+    (virtual CPU) mesh end-to-end from the CLI — the memory-scaling axis
+    (SURVEY.md §7 phase 2 made production-reachable)."""
+    out = str(tmp_path / "mp.ply")
+    rc = cli.main([
+        synthetic_project,
+        "-o", out,
+        "-n", "24",
+        "--num-downscales", "0",
+        "--warmup-length", "5",
+        "--refine-every", "10",
+        "--renderer", "tiled",
+        "--model-parallel", "2",
+    ])
+    assert rc == 0
+    assert "model-parallel training over 2 devices" in capsys.readouterr().out
+    assert os.path.exists(out)
+
+
 def test_parity_report_harness(synthetic_project, tmp_path):
     """tools/parity_report.py runs end-to-end on a synthetic project and
     emits the BASELINE table + saved-scene oracle cross-check (the

@@ -50,12 +50,13 @@ def test_gs_render_matches_replicated(renderer):
         H, W, 1, jnp.asarray(DEFAULT_BACKGROUND, jnp.float32),
         renderer=renderer,
     )
-    rgb, n_vis = gs_render(
+    rgb, n_vis, demand = gs_render(
         sh_state, args["cam_to_world"], args["fx"], args["fy"],
         args["cx"], args["cy"], mesh, H, W, 1,
         v_budget=state.alive.shape[0] // M, renderer=renderer,
     )
     assert int(n_vis) <= state.alive.shape[0] // M
+    assert demand.shape == (2,)
     np.testing.assert_allclose(
         np.asarray(rgb), np.asarray(ref.rgb), rtol=1e-5, atol=1e-5
     )
