@@ -374,10 +374,10 @@ def pallas_expand_bin(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_NV, g_blk), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, g_blk), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],

@@ -167,7 +167,7 @@ def pallas_segment_sum(gid_sorted, planes_sorted, ends, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(c_pad // g_blk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((10, g_blk), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),

@@ -192,3 +192,80 @@ def test_dp_trainer_parity_with_refine():
     _assert_state_close(dp4.state, dp1.state, rtol=5e-3, atol=5e-5)
     # training made progress
     assert m4.loss < 0.2
+
+
+def test_dp_stats_match_sequential_reference_steps():
+    """VERDICT round-1 item 8: a D-camera DP batch's densify-stat
+    accumulation must equal D SEQUENTIAL single-camera reference steps
+    (model.cpp:317-337) — not merely a single-device batched step.
+    Parameters are frozen (lr ~ 0) so the sequential trajectory sees the
+    same weights at every camera, isolating the stat semantics: the
+    global-mean-loss gradient times D must reproduce each per-camera
+    gradient, the batch "first accumulation" must treat global camera 0
+    as the reference's first step, and the resulting split/dup masks
+    must be identical."""
+    d = 4
+    if len(jax.devices()) < d:
+        pytest.skip("needs 4 devices")
+    from opensplat_tpu.models.densify import _split_dup_masks
+    from opensplat_tpu.train import Trainer
+
+    cams = _make_cameras(n_cams=d, H=32, W=32, f=40.0)
+    gt_state = _ground_truth_state(n=40, capacity=64)
+    targets = _render_targets(gt_state, cams)
+    for cam, img in zip(cams, targets):
+        cam.set_image(img)
+
+    rng = np.random.default_rng(9)
+    pts = np.asarray(gt_state.params.means)[np.asarray(gt_state.alive)]
+    pts = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+    rgb = rng.integers(0, 255, (pts.shape[0], 3)).astype(np.uint8)
+    frozen = dict(
+        lr_means=1e-30, lr_means_final=1e-30, lr_scales=0.0, lr_quats=0.0,
+        lr_features_dc=0.0, lr_features_rest=0.0, lr_opacities=0.0,
+    )
+    cfg = TrainConfig(
+        num_iters=60, sh_degree=1, num_downscales=0,
+        warmup_length=50, refine_every=100, capacity_round=64,
+        densify_grad_thresh=2e-5,  # low enough that masks are nontrivial
+        **frozen,
+    )
+
+    def fresh():
+        return init_model(pts, rgb, sh_degree=1, capacity=64,
+                          capacity_round=64, seed=3)
+
+    seq = Trainer(fresh(), cams, cfg, renderer="tiled")
+    for step in range(1, d + 1):
+        seq.run_step(step)
+
+    mesh = make_mesh(n_data=d, n_model=1, devices=jax.devices()[:d])
+    dp = DPTrainer(fresh(), cams, cfg, renderer="tiled", mesh=mesh,
+                   d_local=1)
+    dp.run_step(1)  # same sampler seed -> same d cameras, same order
+
+    # frozen params: bitwise-identical weights at every camera
+    for name in ("means", "scales", "quats", "opacities"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dp.state.params, name)),
+            np.asarray(getattr(seq.state.params, name)), err_msg=name,
+        )
+    # stat accumulation: psum reorders fp additions -> tight allclose
+    for name in ("xys_grad_norm", "vis_counts", "max_2d_size"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(dp.state.stats, name)),
+            np.asarray(getattr(seq.state.stats, name)),
+            rtol=1e-5, atol=1e-7, err_msg=name,
+        )
+    assert bool(dp.state.stats.initialized)
+
+    maxwh = 32.0
+    m_seq = _split_dup_masks(seq.state.params, seq.state.stats,
+                             seq.state.alive, maxwh, cfg, True)
+    m_dp = _split_dup_masks(dp.state.params, dp.state.stats,
+                            dp.state.alive, maxwh, cfg, True)
+    splits_seq, dups_seq = (np.asarray(m) for m in m_seq)
+    splits_dp, dups_dp = (np.asarray(m) for m in m_dp)
+    assert int(splits_seq.sum()) + int(dups_seq.sum()) > 0  # nontrivial
+    np.testing.assert_array_equal(splits_dp, splits_seq)
+    np.testing.assert_array_equal(dups_dp, dups_seq)
