@@ -92,6 +92,89 @@ def run_dp_bench(d, n_points, h, renderer):
     }))
 
 
+def run_hybrid_bench(d, m, n_points, h, renderer):
+    """Hybrid camera-DP x Gaussian-MP train-step throughput on a
+    (d, m) 2D mesh: d cameras/step, capacity sharded 1/m per device
+    (BENCH_DP=D BENCH_MP=M together — the CLI `--data-parallel D
+    --model-parallel M` path)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from opensplat_tpu.config import TrainConfig
+    from opensplat_tpu.models.gaussians import init_model
+    from opensplat_tpu.optim.adam import means_lr_schedule
+    from opensplat_tpu.parallel.gaussian_shard import (
+        dpgs_train_step, shard_state,
+    )
+    from opensplat_tpu.parallel.mesh import make_mesh
+
+    w = h
+    assert len(jax.devices()) >= d * m, (len(jax.devices()), d, m)
+    mesh = make_mesh(n_data=d, n_model=m, devices=jax.devices()[:d * m])
+    cam = NamedSharding(mesh, P("data"))
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.5, 1.5, (n_points, 3)).astype(np.float32)
+    rgb = rng.integers(0, 255, (n_points, 3)).astype(np.uint8)
+    state = shard_state(
+        mesh, init_model(pts, rgb, sh_degree=3, capacity=n_points, seed=0)
+    )
+    cfg = TrainConfig(num_iters=30000, capacity_round=n_points)
+    c2ws = np.broadcast_to(np.eye(4, dtype=np.float32), (d, 4, 4)).copy()
+    c2ws[:, 2, 3] = 6.0 + 0.01 * np.arange(d)
+    args = [
+        jax.device_put(jnp.asarray(c2ws), cam),
+        jax.device_put(jnp.full((d,), 0.9 * w, jnp.float32), cam),
+        jax.device_put(jnp.full((d,), 0.9 * w, jnp.float32), cam),
+        jax.device_put(jnp.full((d,), w / 2.0, jnp.float32), cam),
+        jax.device_put(jnp.full((d,), h / 2.0, jnp.float32), cam),
+        jax.device_put(
+            jnp.asarray(rng.uniform(0, 1, (d, h, w, 3)).astype(np.float32)),
+            cam,
+        ),
+    ]
+    lr = means_lr_schedule(cfg.lr_means, cfg.lr_means_final, cfg.num_iters, 0)
+
+    def step(state, ib=0, lb=0, v=n_points // m):
+        return dpgs_train_step(
+            state, *args, lr, mesh, h, w, 3, cfg, True, v_budget=v,
+            renderer=renderer, isect_budget=ib, layout_budget=lb,
+        )
+
+    state2, mm = step(state)
+    jax.block_until_ready(mm["loss"])
+    dmd = np.asarray(mm["demand"])
+    ib = lb = 0
+    v = n_points // m
+    if dmd[2] > 0:
+        v = min(n_points // m, (int(dmd[2] * 1.3) + 1023) // 1024 * 1024)
+    if renderer in ("tiled", "pallas") and dmd[0] > 0:
+        bucket = 131072
+        fit = lambda x: (int(int(x) * 1.15) + bucket - 1) // bucket * bucket
+        ib = fit(dmd[0])
+        lb = fit(dmd[1]) if dmd[1] > 0 else 0
+    state2, mm = step(state, ib, lb, v)
+    jax.block_until_ready(mm["loss"])
+
+    n_iters = int(os.environ.get("BENCH_ITERS", 20))
+    t0 = time.perf_counter()
+    st = state2
+    for _ in range(n_iters):
+        st, mm = step(st, ib, lb, v)
+    jax.block_until_ready(mm["loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": (
+            f"hybrid_train_steps_per_sec[{renderer},{n_points}g,{h}px,"
+            f"dp{d}xmp{m}]"
+        ),
+        "value": round(n_iters / dt, 3),
+        "unit": f"steps/s ({d} cameras/step, capacity 1/{m})",
+        "vs_baseline": None,
+    }))
+
+
 def run_mp_bench(m, n_points, h, renderer):
     """Gaussian-model-parallel train-step throughput on an m-device mesh
     (capacity sharded 1/m per device; all-gather of visible subsets +
@@ -180,11 +263,14 @@ def main():
     # BENCH_DP=D: camera-data-parallel step over a D-device mesh
     # (one camera per device, ONE gradient psum) — the v5e-8 target path
     dp = int(os.environ.get("BENCH_DP", 0))
+    # BENCH_MP=M: Gaussian-model-parallel step (capacity sharded 1/M —
+    # the memory-scaling axis for scenes beyond one chip's HBM);
+    # both together = hybrid DPxMP on a (D, M) 2D mesh
+    mp = int(os.environ.get("BENCH_MP", 0))
+    if dp and mp:
+        return run_hybrid_bench(dp, mp, n_points, h, renderer)
     if dp:
         return run_dp_bench(dp, n_points, h, renderer)
-    # BENCH_MP=M: Gaussian-model-parallel step (capacity sharded 1/M —
-    # the memory-scaling axis for scenes beyond one chip's HBM)
-    mp = int(os.environ.get("BENCH_MP", 0))
     if mp:
         return run_mp_bench(mp, n_points, h, renderer)
 

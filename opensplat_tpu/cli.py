@@ -87,8 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
                    "subsets, one image band per device, reduce-scatter "
                    "of gradients; parameter/optimizer memory scales 1/M "
                    "— for scenes too large for one chip's HBM). M=-1 "
-                   "uses every device; mutually exclusive with "
-                   "--data-parallel")
+                   "uses every device; combine with --data-parallel D "
+                   "for hybrid DPxMP on a 2D (D, M) device mesh")
     p.add_argument("--checkpoint-every", type=int, default=-1,
                    help="Write a native full-state checkpoint every N steps")
     p.add_argument("--ckpt-dir", default="",
@@ -272,11 +272,25 @@ def main(argv=None) -> int:
 
     renderer = pick_renderer(cfg.renderer)
     if args.data_parallel and args.model_parallel:
-        raise SystemExit(
-            "--model-parallel and --data-parallel are mutually "
-            "exclusive (pick one scaling axis per run)"
+        # hybrid: camera-DP x Gaussian-MP on a 2D (data, model) mesh —
+        # throughput scales with D while parameter memory scales 1/M
+        from .parallel.gaussian_shard import GSTrainer
+
+        n_devices = len(jax.devices())
+        n_data = args.data_parallel if args.data_parallel > 0 else 2
+        n_model = args.model_parallel if args.model_parallel > 0 else 2
+        if n_data * n_model > n_devices:
+            raise SystemExit(
+                f"--data-parallel {n_data} x --model-parallel {n_model} "
+                f"needs {n_data * n_model} devices, have {n_devices}"
+            )
+        print(
+            f"Hybrid training: {n_data}-camera DP x {n_model}-shard "
+            f"Gaussian MP ({n_data * n_model} devices)"
         )
-    if args.data_parallel:
+        trainer = GSTrainer(state, cams, cfg, renderer=renderer,
+                            n_model=n_model, n_data=n_data)
+    elif args.data_parallel:
         from .parallel.dp_trainer import DPTrainer
 
         n_data = args.data_parallel

@@ -273,27 +273,6 @@ class DPTrainer(Trainer):
             )
         return jax.device_put(jnp.asarray(arr, dtype), self._cam_sharding)
 
-    def _sample_batch(self, factor: int):
-        """Draw d_total same-sized cameras. The global sampler keeps the
-        reference's reshuffle-per-epoch order (utils.hpp:20-33); when the
-        dataset mixes image sizes, draws of other sizes are deferred to
-        their own bucket queue so every camera still appears once per
-        epoch."""
-        if not hasattr(self, "_size_queues"):
-            self._size_queues = {}
-        batch = None
-        key = None
-        while batch is None:
-            cam = self.cameras[self.sampler.next()]
-            gt = cam.get_image(factor)
-            k = gt.shape[:2]
-            q = self._size_queues.setdefault(k, [])
-            q.append((cam, gt))
-            if len(q) >= self.d_total:
-                batch, self._size_queues[k] = q[: self.d_total], q[self.d_total:]
-                key = k
-        return key, batch
-
     def run_step(self, step: int) -> StepOutcome:
         cfg = self.cfg
         factor = get_downscale_factor(step, cfg)

@@ -310,6 +310,176 @@ def gs_train_step(
     return new_state, metrics
 
 
+def _fold_stats_dp_batched(
+    stats,
+    g_xys: jax.Array,  # (D, C, 2) grads of the GLOBAL mean loss
+    radii: jax.Array,  # (D, C) per-camera full-frame radii
+    height: int,
+    width: int,
+    d_total: int,
+):
+    """Densify-stat fold for a D-camera batch with sequential-reference
+    semantics (model.cpp:317-337), as plain jnp over the batch axis so
+    GSPMD handles any (data, model) sharding of the operands. Batch slot
+    0 plays the reference's "first accumulation after refine" step: its
+    grads initialize norms for ALL rows and counts start at 1; later
+    cameras add only where visible (same math as dp_trainer's shard_map
+    fold — pinned against D sequential steps in tests/test_dp_trainer)."""
+    from ..models.gaussians import DensifyStats
+
+    norms = jnp.linalg.norm(g_xys, axis=-1) * d_total  # (D, C)
+    visible = radii > 0
+    masked = jnp.where(visible, norms, 0.0)
+    sum_masked = jnp.sum(masked, axis=0)
+    sum_vis = jnp.sum(visible, axis=0).astype(jnp.float32)
+
+    size = radii.astype(jnp.float32) / float(max(height, width))
+    max2d_add = jnp.max(jnp.where(visible, size, 0.0), axis=0)
+
+    init = ~stats.initialized
+    return DensifyStats(
+        xys_grad_norm=jnp.where(
+            init,
+            norms[0] + (sum_masked - masked[0]),
+            stats.xys_grad_norm + sum_masked,
+        ),
+        vis_counts=jnp.where(
+            init,
+            1.0 + (sum_vis - visible[0].astype(jnp.float32)),
+            stats.vis_counts + sum_vis,
+        ),
+        max_2d_size=jnp.maximum(stats.max_2d_size, max2d_add),
+        initialized=jnp.ones((), bool),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "height", "width", "sh_deg", "cfg", "accumulate",
+        "v_budget", "renderer", "isect_budget", "layout_budget",
+    ),
+)
+def dpgs_train_step(
+    state: TrainState,
+    cam_to_world: jax.Array,  # (D, 4, 4), D = mesh n_data
+    fx: jax.Array,  # (D,)
+    fy: jax.Array,
+    cx: jax.Array,
+    cy: jax.Array,
+    gt_images: jax.Array,  # (D, H, W, 3)
+    means_lr,
+    mesh: Mesh,
+    height: int, width: int, sh_deg: int,
+    cfg: TrainConfig,
+    accumulate: bool,
+    v_budget: int,
+    renderer: str = "dense",
+    isect_budget: int = 0,
+    layout_budget: int = 0,
+    pending_demand=None,
+) -> Tuple[TrainState, dict]:
+    """Hybrid camera-DP x Gaussian-MP step on a 2D (data, model) mesh:
+    BOTH scaling axes at once — throughput multiplies with `data`
+    (one camera per data slice) while parameter/optimizer/stat memory
+    scales 1/M over `model` (scenes beyond one chip's HBM).
+
+    Collective schedule, all emitted by the shard_map transpose:
+      * forward: ONE all-gather of frustum-compacted visible subsets
+        along 'model' (within each data slice);
+      * backward: reduce-scatter of gathered-set grads along 'model'
+        (owner shards), THEN a psum along 'data' for the parameter
+        grads — the classic DP all-reduce falls out of the transpose of
+        the params' data-replicated in_spec, nothing hand-written;
+      * densify stats use the D-sequential-reference fold
+        (_fold_stats_dp_batched) on (data, model)-sharded per-camera
+        xys gradients.
+
+    Requires d_total == mesh.shape['data'] (one camera per data slice).
+    metrics['demand'] = running-max (3,) int32 [n_cands, n_isects,
+    max_shard_visible] over the whole fleet (never-silent budgets)."""
+    n_model = mesh.shape["model"]
+    d_total = cam_to_world.shape[0]
+    assert d_total == mesh.shape["data"], (d_total, mesh.shape)
+    background = jnp.asarray(DEFAULT_BACKGROUND, jnp.float32)
+    capacity = state.alive.shape[0]
+
+    def band_body(params, alive, shifts, c2w, fx_, fy_, cx_, cy_):
+        # local slices: params/alive/shifts = my capacity shard (C/M);
+        # camera args = my data slice, shape (1, ...)
+        rgb, radii, n_vis, demand = _gs_render_core(
+            params, alive, shifts[0], c2w[0], fx_[0], fy_[0], cx_[0],
+            cy_[0], height=height, width=width, sh_deg=sh_deg,
+            background=background, v_budget=v_budget, renderer=renderer,
+            isect_budget=isect_budget, layout_budget=layout_budget,
+            n_model=n_model,
+        )
+        n_vis = jax.lax.pmax(jax.lax.pmax(n_vis, "model"), "data")
+        demand = jax.lax.pmax(demand, "data")
+        return rgb[None], radii[None], n_vis, demand
+
+    render_band = jax.shard_map(
+        band_body,
+        mesh=mesh,
+        in_specs=(
+            P("model"), P("model"), P("data", "model"),
+            P("data"), P("data"), P("data"), P("data"), P("data"),
+        ),
+        out_specs=(
+            P("data", "model"), P("data", "model"), P(), P(),
+        ),
+        check_vma=False,
+    )
+
+    def loss_fn(params, xys_shift):
+        rgb, radii, n_vis, demand = render_band(
+            params, state.alive, xys_shift,
+            jnp.asarray(cam_to_world, jnp.float32),
+            jnp.asarray(fx, jnp.float32), jnp.asarray(fy, jnp.float32),
+            jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
+        )
+        rgb = rgb[:, :height]  # crop band padding (zero cotangent)
+        losses = jax.vmap(
+            lambda im, gt: main_loss(im, gt, cfg.ssim_weight)
+        )(rgb, gt_images)
+        return jnp.sum(losses) / d_total, (rgb, radii, n_vis, demand)
+
+    (loss, (rgb, radii, n_vis, demand)), (g_params, g_xys) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            state.params, jnp.zeros((d_total, capacity, 2), jnp.float32)
+        )
+    )
+
+    lrs = GaussianParams(
+        means=means_lr, scales=cfg.lr_scales, quats=cfg.lr_quats,
+        features_dc=cfg.lr_features_dc, features_rest=cfg.lr_features_rest,
+        opacities=cfg.lr_opacities,
+    )
+    new_params, new_opt = adam_update(
+        state.params, g_params, state.opt, lrs, state.alive
+    )
+
+    stats = state.stats
+    if accumulate:
+        stats = _fold_stats_dp_batched(
+            stats, g_xys, radii, height, width, d_total
+        )
+
+    new_state = state.replace(params=new_params, opt=new_opt, stats=stats)
+    demand3 = jnp.concatenate([demand, n_vis.astype(jnp.int32)[None]])
+    if pending_demand is not None:
+        demand3 = jnp.maximum(demand3, pending_demand)
+    metrics = {
+        "loss": loss,
+        "psnr": jnp.mean(jax.vmap(psnr)(rgb, gt_images)),
+        "n_visible": jnp.sum(jnp.any(radii > 0, axis=0)),
+        "n_alive": jnp.sum(new_state.alive),
+        "max_shard_visible": n_vis,
+        "demand": demand3,
+    }
+    return new_state, metrics
+
+
 class GSTrainer(Trainer):
     """Production trainer on Gaussian-sharded state (CLI --model-parallel).
 
@@ -319,6 +489,12 @@ class GSTrainer(Trainer):
     gradients home, and runs Adam + densify statistics shard-local.
     Parameter/optimizer/stat HBM scales ~1/M per device, so scenes too
     large for one chip's memory train on M (BASELINE.md scaling row).
+
+    With n_data > 1 the mesh is 2D (data, model) and every step consumes
+    n_data cameras — hybrid camera-DP x Gaussian-MP via dpgs_train_step
+    (CLI: --data-parallel D --model-parallel M together): throughput
+    scales with D, memory with 1/M, densify stats keep D-sequential-
+    reference semantics.
 
     The refine machine (count_refine_needs / refine_step) runs directly
     on the sharded state — the jitted programs are sharding-agnostic and
@@ -344,15 +520,20 @@ class GSTrainer(Trainer):
         renderer: str = "dense",
         mesh: Optional[Mesh] = None,
         n_model: Optional[int] = None,
+        n_data: int = 1,
     ):
         super().__init__(state, cameras, cfg, renderer=renderer)
         if mesh is None:
-            n_model = n_model or len(jax.devices())
+            n_model = n_model or (len(jax.devices()) // n_data)
             mesh = make_mesh(
-                n_data=1, n_model=n_model, devices=jax.devices()[:n_model]
+                n_data=n_data, n_model=n_model,
+                devices=jax.devices()[:n_data * n_model],
             )
         self.mesh = mesh
         self.n_model = mesh.shape["model"]
+        self.n_data = mesh.shape["data"]
+        self.d_total = self.n_data  # hybrid: one camera per data slice
+        self._cam_sharding = NamedSharding(mesh, P("data"))
         cap = state.alive.shape[0]
         if cap % self._capacity_rounding():
             state = grow_capacity(
@@ -400,10 +581,13 @@ class GSTrainer(Trainer):
 
     def run_step(self, step: int) -> StepOutcome:
         cfg = self.cfg
-        cam = self.cameras[self.sampler.next()]
         factor = get_downscale_factor(step, cfg)
-        gt = cam.get_image(factor)
-        h, w = gt.shape[0], gt.shape[1]
+        if self.n_data > 1:
+            (h, w), batch = self._sample_batch(factor)
+        else:
+            cam = self.cameras[self.sampler.next()]
+            gt = cam.get_image(factor)
+            h, w = gt.shape[0], gt.shape[1]
         if (h, w) != self.last_hw:
             self._pending_demand = self._zero_pending()
         self.last_hw = (h, w)
@@ -412,28 +596,45 @@ class GSTrainer(Trainer):
             cfg.lr_means, cfg.lr_means_final, cfg.num_iters, step - 1
         )
         accumulate = step < cfg.stop_split_at
-
-        self.state, metrics = gs_train_step(
-            self.state,
-            jnp.asarray(cam.cam_to_world, jnp.float32),
-            cam.fx / factor,
-            cam.fy / factor,
-            cam.cx / factor,
-            cam.cy / factor,
-            jnp.asarray(gt, jnp.float32),
-            means_lr,
-            self.mesh,
-            h,
-            w,
-            sh_deg,
-            cfg,
-            accumulate,
-            v_budget=self._v_budget,
+        common = dict(
+            mesh=self.mesh, height=h, width=w, sh_deg=sh_deg, cfg=cfg,
+            accumulate=accumulate, v_budget=self._v_budget,
             renderer=self.renderer,
             isect_budget=self._budget_for(h, w)[0],
             layout_budget=self._budget_for(h, w)[1],
             pending_demand=self._pending_demand,
         )
+
+        if self.n_data > 1:
+            # hybrid camera-DP x Gaussian-MP on the 2D mesh
+            def put(arr):
+                return jax.device_put(
+                    jnp.asarray(arr, jnp.float32), self._cam_sharding
+                )
+
+            self.state, metrics = dpgs_train_step(
+                self.state,
+                put(np.stack([c.cam_to_world for c, _ in batch])),
+                put(np.asarray([c.fx / factor for c, _ in batch])),
+                put(np.asarray([c.fy / factor for c, _ in batch])),
+                put(np.asarray([c.cx / factor for c, _ in batch])),
+                put(np.asarray([c.cy / factor for c, _ in batch])),
+                put(np.stack([g for _, g in batch])),
+                means_lr,
+                **common,
+            )
+        else:
+            self.state, metrics = gs_train_step(
+                self.state,
+                jnp.asarray(cam.cam_to_world, jnp.float32),
+                cam.fx / factor,
+                cam.fy / factor,
+                cam.cx / factor,
+                cam.cy / factor,
+                jnp.asarray(gt, jnp.float32),
+                means_lr,
+                **common,
+            )
         self._pending_demand = metrics["demand"]
         if step <= 3 or step % 10 == 0 or step % cfg.refine_every == 0:
             d = np.asarray(metrics["demand"])

@@ -183,6 +183,7 @@ class Trainer:
         self.cfg = cfg
         self.renderer = renderer
         self.sampler = InfiniteRandomSampler(len(cameras), seed=cfg.seed)
+        self.d_total = 1  # cameras per step (DP subclasses raise this)
         self.last_hw = (0, 0)
         self.refine_metrics: Optional[dict] = None
         # adaptive intersection budgets, keyed by render resolution;
@@ -210,6 +211,29 @@ class Trainer:
         # capacity-growth granularity; subclasses with sharded capacity
         # override so every shard stays equal-sized (gaussian_shard.py)
         return self.cfg.capacity_round
+
+    def _sample_batch(self, factor: int):
+        """Draw d_total same-sized cameras. The global sampler keeps the
+        reference's reshuffle-per-epoch order (utils.hpp:14-38); when the
+        dataset mixes image sizes, draws of other sizes are deferred to
+        their own bucket queue so every camera still appears once per
+        epoch. Used by the DP trainers (dp_trainer.py, gaussian_shard.py)."""
+        if not hasattr(self, "_size_queues"):
+            self._size_queues = {}
+        batch = None
+        key = None
+        while batch is None:
+            cam = self.cameras[self.sampler.next()]
+            gt = cam.get_image(factor)
+            k = gt.shape[:2]
+            q = self._size_queues.setdefault(k, [])
+            q.append((cam, gt))
+            if len(q) >= self.d_total:
+                batch, self._size_queues[k] = (
+                    q[: self.d_total], q[self.d_total:]
+                )
+                key = k
+        return key, batch
 
     def _update_budget(self, h: int, w: int, n_cands: int, n_isects: int):
         if self.renderer not in ("tiled", "pallas"):

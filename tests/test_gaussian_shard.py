@@ -35,7 +35,7 @@ def _cam_args(cams):
     )
 
 
-@pytest.mark.parametrize("renderer", ["dense", "tiled"])
+@pytest.mark.parametrize("renderer", ["dense", "tiled", "pallas"])
 def test_gs_render_matches_replicated(renderer):
     if len(jax.devices()) < M:
         pytest.skip("needs devices")
@@ -124,3 +124,67 @@ def test_gs_collective_schedule():
     hlo = lowered.compile().as_text()
     assert "all-gather" in hlo or "all-gather-start" in hlo, "no all-gather"
     assert "reduce-scatter" in hlo, "no reduce-scatter"
+
+
+@pytest.mark.parametrize("renderer", ["dense", "tiled"])
+def test_dpgs_hybrid_matches_dp_replicated(renderer):
+    """Hybrid camera-DP x Gaussian-MP on a 2x2 (data, model) mesh equals
+    the replicated camera-DP step (itself pinned to D sequential
+    reference steps): same loss, fp-tolerance-equal parameter updates
+    through the reduce-scatter+psum transpose chain, and identical
+    densify-stat fold."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from opensplat_tpu.parallel.dp_trainer import dp_train_step
+    from opensplat_tpu.parallel.gaussian_shard import dpgs_train_step
+
+    d = 2
+    state, cams, _ = _scene(d)
+    gts = np.random.default_rng(5).uniform(
+        0, 1, (d, H, W, 3)
+    ).astype(np.float32)
+    hy_mesh = make_mesh(n_data=d, n_model=2, devices=jax.devices()[:4])
+    dp_mesh = make_mesh(n_data=d, n_model=1, devices=jax.devices()[:d])
+
+    cam_args = dict(
+        cam_to_world=jnp.asarray(cams),
+        fx=jnp.full((d,), 40.0), fy=jnp.full((d,), 40.0),
+        cx=jnp.full((d,), W / 2.0), cy=jnp.full((d,), H / 2.0),
+        gt_images=jnp.asarray(gts),
+    )
+
+    ref_state, ref_m = dp_train_step(
+        jax.device_put(state, NamedSharding(dp_mesh, P())),
+        cam_args["cam_to_world"], cam_args["fx"], cam_args["fy"],
+        cam_args["cx"], cam_args["cy"], cam_args["gt_images"], LR,
+        jnp.zeros((2,), jnp.int32), dp_mesh, H, W, 1, CFG, True,
+        renderer, d_local=1,
+    )
+
+    hy_state, hy_m = dpgs_train_step(
+        shard_state(hy_mesh, state),
+        cam_args["cam_to_world"], cam_args["fx"], cam_args["fy"],
+        cam_args["cx"], cam_args["cy"], cam_args["gt_images"], LR,
+        hy_mesh, H, W, 1, CFG, True,
+        v_budget=state.alive.shape[0] // 2, renderer=renderer,
+    )
+
+    np.testing.assert_allclose(
+        float(hy_m["loss"]), float(ref_m["loss"]), rtol=1e-5
+    )
+    assert int(np.asarray(hy_m["demand"])[2]) > 0  # V feedback flows
+    for name in ("means", "scales", "quats", "features_dc",
+                 "features_rest", "opacities"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(hy_state.params, name)),
+            np.asarray(getattr(ref_state.params, name)),
+            rtol=2e-4, atol=1e-5, err_msg=name,
+        )
+    for name in ("xys_grad_norm", "vis_counts", "max_2d_size"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(hy_state.stats, name)),
+            np.asarray(getattr(ref_state.stats, name)),
+            rtol=1e-4, atol=1e-6, err_msg=name,
+        )

@@ -133,3 +133,43 @@ def test_gs_v_budget_overflow_logged_and_regrown(capsys):
     # and the regrown budget stops truncating
     gst.run_step(2)
     assert gst.v_overflow_events == 1
+
+
+def test_hybrid_trainer_parity_with_refine():
+    """Hybrid GSTrainer (2-camera DP x 2-shard MP on 4 devices) equals
+    the replicated DPTrainer with the same 2-camera batches step-for-step
+    across a refine event: same sampler order, same refine masks,
+    fp-tolerance-equal parameters — both scaling axes composed without
+    changing the training semantics."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from opensplat_tpu.parallel.dp_trainer import DPTrainer
+    from opensplat_tpu.parallel.mesh import make_mesh as _mk
+
+    cams, pts, rgb, cfg = _training_setup()
+
+    dp_mesh = _mk(n_data=2, n_model=1, devices=jax.devices()[:2])
+    ref = DPTrainer(_fresh_state(pts, rgb), cams, cfg, renderer="tiled",
+                    mesh=dp_mesh, d_local=1)
+    hyb = GSTrainer(_fresh_state(pts, rgb), cams, cfg, renderer="tiled",
+                    n_model=2, n_data=2)
+    assert hyb.d_total == ref.d_total == 2
+
+    refine_seen = False
+    for step in range(1, 16):
+        mr = ref.run_step(step)
+        mh = hyb.run_step(step)
+        np.testing.assert_allclose(mh.loss, mr.loss, rtol=5e-4)
+        if step % cfg.refine_every == 0 and step > cfg.warmup_length:
+            refine_seen = True
+            np.testing.assert_array_equal(
+                np.asarray(hyb.state.alive), np.asarray(ref.state.alive)
+            )
+            assert hyb.refine_metrics == ref.refine_metrics
+    assert refine_seen
+    for name in ("means", "scales", "quats", "features_dc", "opacities"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(hyb.state.params, name)),
+            np.asarray(getattr(ref.state.params, name)),
+            rtol=5e-3, atol=5e-5, err_msg=name,
+        )
