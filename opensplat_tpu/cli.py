@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "for hybrid DPxMP on a 2D (D, M) device mesh")
     p.add_argument("--checkpoint-every", type=int, default=-1,
                    help="Write a native full-state checkpoint every N steps")
+    p.add_argument("--gt-cache-mb", type=int, default=1024,
+                   help="HBM budget for the device-resident GT image "
+                   "cache (LRU per (camera, factor); 0 disables). Avoids "
+                   "re-transferring ground-truth images every step")
     p.add_argument("--ckpt-dir", default="",
                    help="Directory for native checkpoints")
     p.add_argument("--metrics-file", default="",
@@ -217,6 +221,7 @@ def main(argv=None) -> int:
         renderer=args.renderer,
         checkpoint_every=args.checkpoint_every,
         ckpt_dir=args.ckpt_dir,
+        gt_cache_mb=args.gt_cache_mb,
     )
 
     out_dir = os.path.dirname(cfg.output)

@@ -63,3 +63,10 @@ class TrainConfig:
     seed: int = 42
     checkpoint_every: int = -1  # native (orbax-style) checkpoints
     ckpt_dir: str = ""
+    # device-resident GT image cache budget (MiB; 0 disables). The TPU
+    # sits behind an RPC tunnel, so re-transferring the ground-truth
+    # image every step is a real per-step cost; training revisits every
+    # camera each epoch, so each (camera, factor) image is kept in HBM
+    # after first use (LRU-evicted under this budget) — the device-side
+    # analog of the reference's host pyramids (input_data.cpp:163-181).
+    gt_cache_mb: int = 1024

@@ -287,7 +287,9 @@ class DPTrainer(Trainer):
         accumulate = step < cfg.stop_split_at
 
         c2w = self._put_cam(np.stack([c.cam_to_world for c, _ in batch]))
-        gts = self._put_cam(np.stack([g for _, g in batch]))
+        # gts are already device-resident (Trainer._gt_on_device cache);
+        # jnp.stack keeps the batch assembly on-device (no host round-trip)
+        gts = self._put_cam(jnp.stack([g for _, g in batch]))
 
         def intr(get):
             return self._put_cam(

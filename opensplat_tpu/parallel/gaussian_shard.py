@@ -585,8 +585,9 @@ class GSTrainer(Trainer):
         if self.n_data > 1:
             (h, w), batch = self._sample_batch(factor)
         else:
-            cam = self.cameras[self.sampler.next()]
-            gt = cam.get_image(factor)
+            cam_idx = self.sampler.next()
+            cam = self.cameras[cam_idx]
+            gt = self._gt_on_device(cam_idx, factor)
             h, w = gt.shape[0], gt.shape[1]
         if (h, w) != self.last_hw:
             self._pending_demand = self._zero_pending()
@@ -619,7 +620,8 @@ class GSTrainer(Trainer):
                 put(np.asarray([c.fy / factor for c, _ in batch])),
                 put(np.asarray([c.cx / factor for c, _ in batch])),
                 put(np.asarray([c.cy / factor for c, _ in batch])),
-                put(np.stack([g for _, g in batch])),
+                # gt batch stays on-device (Trainer._gt_on_device cache)
+                put(jnp.stack([g for _, g in batch])),
                 means_lr,
                 **common,
             )
@@ -631,7 +633,7 @@ class GSTrainer(Trainer):
                 cam.fy / factor,
                 cam.cx / factor,
                 cam.cy / factor,
-                jnp.asarray(gt, jnp.float32),
+                gt,
                 means_lr,
                 **common,
             )

@@ -9,6 +9,7 @@ refine_every), and capacity growth happens host-side between programs.
 from __future__ import annotations
 
 import math
+from collections import OrderedDict
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, List, Optional
@@ -196,6 +197,11 @@ class Trainer:
         # signature and recompile the whole step.
         self._pending_demand: jax.Array = jnp.zeros((2,), jnp.int32)
         self.overflow_events: int = 0
+        # device-resident GT cache: (cam_idx, factor) -> HBM array.
+        # See TrainConfig.gt_cache_mb.
+        self._gt_cache: "OrderedDict[tuple, jax.Array]" = OrderedDict()
+        self._gt_cache_used = 0
+        self._gt_cache_budget = max(0, int(cfg.gt_cache_mb)) * (1 << 20)
 
     _BUDGET_BUCKET = 131072
     # headroom over observed demand; 1.15 measured better than 1.3 on v5e
@@ -223,9 +229,10 @@ class Trainer:
         batch = None
         key = None
         while batch is None:
-            cam = self.cameras[self.sampler.next()]
-            gt = cam.get_image(factor)
-            k = gt.shape[:2]
+            cam_idx = self.sampler.next()
+            cam = self.cameras[cam_idx]
+            gt = self._gt_on_device(cam_idx, factor)
+            k = (int(gt.shape[0]), int(gt.shape[1]))
             q = self._size_queues.setdefault(k, [])
             q.append((cam, gt))
             if len(q) >= self.d_total:
@@ -234,6 +241,35 @@ class Trainer:
                 )
                 key = k
         return key, batch
+
+    def _gt_on_device(self, cam_idx: int, factor: int) -> jax.Array:
+        """GT image as a device array, cached per (camera, factor).
+
+        Training revisits every camera each epoch, so the H2D transfer
+        (expensive behind the TPU tunnel) is paid once per (camera,
+        factor) instead of every step — the device-side analog of the
+        reference's host image pyramids (input_data.cpp:163-181).
+        LRU-evicted to stay under cfg.gt_cache_mb."""
+        key = (cam_idx, factor)
+        hit = self._gt_cache.get(key)
+        if hit is not None:
+            self._gt_cache.move_to_end(key)
+            return hit
+        arr = jnp.asarray(
+            self.cameras[cam_idx].get_image(factor), jnp.float32
+        )
+        if arr.nbytes > self._gt_cache_budget:
+            return arr  # over-budget frame (or cache disabled): no cache
+        while self._gt_cache and (
+            self._gt_cache_used + arr.nbytes > self._gt_cache_budget
+        ):
+            # drop the reference; the runtime frees the buffer once any
+            # in-flight step that consumed it completes
+            _, old = self._gt_cache.popitem(last=False)
+            self._gt_cache_used -= old.nbytes
+        self._gt_cache[key] = arr
+        self._gt_cache_used += arr.nbytes
+        return arr
 
     def _update_budget(self, h: int, w: int, n_cands: int, n_isects: int):
         if self.renderer not in ("tiled", "pallas"):
@@ -277,9 +313,10 @@ class Trainer:
 
     def run_step(self, step: int) -> StepOutcome:
         cfg = self.cfg
-        cam = self.cameras[self.sampler.next()]
+        cam_idx = self.sampler.next()
+        cam = self.cameras[cam_idx]
         factor = get_downscale_factor(step, cfg)
-        gt = cam.get_image(factor)
+        gt = self._gt_on_device(cam_idx, factor)
         h, w = gt.shape[0], gt.shape[1]
         if (h, w) != self.last_hw:
             # demand is budget-keyed by resolution; don't mix streams
@@ -298,7 +335,7 @@ class Trainer:
             cam.fy / factor,
             cam.cx / factor,
             cam.cy / factor,
-            jnp.asarray(gt, jnp.float32),
+            gt,
             means_lr,
             h,
             w,

@@ -226,3 +226,40 @@ def test_render_budget_feedback():
     trainer2._isect_budgets[(64, 64)] = (1 << 16, 1 << 16)
     ref = np.asarray(trainer2.render(cams[0], step=50))
     np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+def test_gt_device_cache():
+    """The device-resident GT cache returns the same pixels as the host
+    pyramid, hits on revisits (one device array per (camera, factor)),
+    and LRU-evicts under the byte budget; gt_cache_mb=0 disables it."""
+    cams = _make_cameras(n_cams=3, H=32, W=32)
+    gt_state = _ground_truth_state()
+    for cam, img in zip(cams, _render_targets(gt_state, cams)):
+        cam.set_image(img)
+
+    cfg = TrainConfig(num_iters=100, sh_degree=1, num_downscales=0)
+    tr = Trainer(gt_state, cams, cfg)
+
+    a = tr._gt_on_device(0, 1)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(cams[0].get_image(1), np.float32)
+    )
+    assert tr._gt_on_device(0, 1) is a  # hit: the SAME device array
+    assert tr._gt_cache_used == a.nbytes
+
+    # budget = 2 images -> inserting a 3rd evicts the least-recent (cam 0)
+    tr._gt_cache_budget = 2 * a.nbytes
+    tr._gt_on_device(1, 1)
+    tr._gt_on_device(2, 1)
+    assert (0, 1) not in tr._gt_cache
+    assert {(1, 1), (2, 1)} == set(tr._gt_cache)
+    assert tr._gt_cache_used == 2 * a.nbytes
+
+    off = Trainer(gt_state, cams, TrainConfig(num_iters=100, gt_cache_mb=0))
+    off._gt_on_device(0, 1)
+    assert not off._gt_cache and off._gt_cache_used == 0
+
+    # run_step consumes the cache and trains normally
+    out = tr.run_step(1)
+    assert np.isfinite(out.loss)
+    assert len(tr._gt_cache) >= 2
