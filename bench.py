@@ -14,6 +14,14 @@ import time
 
 import numpy as np
 
+if os.environ.get("BENCH_CPU"):
+    # two-layer CPU forcing: some accelerator plugins (e.g. tunneled
+    # ones) ignore the env var alone
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def run_dp_bench(d, n_points, h, renderer):
     """Camera-DP train-step throughput on a d-device mesh (cameras/s =
@@ -241,6 +249,99 @@ def run_mp_bench(m, n_points, h, renderer):
     }))
 
 
+def run_scenes_bench(s, n_points, h, renderer):
+    """Multi-scene batch throughput: S independent scenes advanced in one
+    stacked program per step (BENCH_SCENES=S). With BENCH_SCENES_SHARDED=1
+    and >= S devices, the scene axis is sharded over `data` (one-or-more
+    scenes per device, each running its full local pipeline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opensplat_tpu.config import TrainConfig
+    from opensplat_tpu.models.gaussians import init_model
+    from opensplat_tpu.optim.adam import means_lr_schedule
+    from opensplat_tpu.parallel.mesh import make_mesh
+    from opensplat_tpu.parallel.multi_scene import (
+        multi_scene_train_step, sharded_multi_scene_step, stack_states,
+    )
+
+    w = h
+    sharded = bool(int(os.environ.get("BENCH_SCENES_SHARDED", "0")))
+    mesh = None
+    if sharded:
+        assert len(jax.devices()) >= s, (len(jax.devices()), s)
+        mesh = make_mesh(n_data=s, n_model=1, devices=jax.devices()[:s])
+
+    rng = np.random.default_rng(0)
+    states = []
+    for i in range(s):
+        pts = rng.uniform(-1.5, 1.5, (n_points, 3)).astype(np.float32)
+        rgb = rng.integers(0, 255, (n_points, 3)).astype(np.uint8)
+        states.append(
+            init_model(pts, rgb, sh_degree=3, capacity=n_points, seed=i)
+        )
+    stacked = stack_states(states)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        put = lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        )
+        stacked = jax.tree.map(put, stacked)
+    else:
+        put = jnp.asarray
+
+    cfg = TrainConfig(num_iters=30000, capacity_round=n_points)
+    c2ws = np.broadcast_to(np.eye(4, dtype=np.float32), (s, 4, 4)).copy()
+    c2ws[:, 2, 3] = 6.0 + 0.01 * np.arange(s)
+    args = [
+        put(jnp.asarray(c2ws)),
+        put(jnp.full((s,), 0.9 * w, jnp.float32)),
+        put(jnp.full((s,), 0.9 * w, jnp.float32)),
+        put(jnp.full((s,), w / 2.0, jnp.float32)),
+        put(jnp.full((s,), h / 2.0, jnp.float32)),
+        put(jnp.asarray(rng.uniform(0, 1, (s, h, w, 3)).astype(np.float32))),
+    ]
+    lr = means_lr_schedule(cfg.lr_means, cfg.lr_means_final, cfg.num_iters, 0)
+
+    def step(st, ib=0, lb=0):
+        kw = dict(height=h, width=w, sh_deg=3, cfg=cfg, accumulate=True,
+                  renderer=renderer, isect_budget=ib, layout_budget=lb)
+        if mesh is not None:
+            return sharded_multi_scene_step(st, *args, lr, mesh=mesh, **kw)
+        return multi_scene_train_step(st, *args, lr, **kw)
+
+    st2, m = step(stacked)
+    jax.block_until_ready(m["loss"])
+    ib = lb = 0
+    dmd = np.max(np.asarray(m["demand"]), axis=0)
+    if renderer in ("tiled", "pallas") and dmd[0] > 0:
+        bucket = 131072
+        fit = lambda v: (int(int(v) * 1.15) + bucket - 1) // bucket * bucket
+        ib = fit(dmd[0])
+        lb = fit(dmd[1]) if dmd[1] > 0 else 0
+        st2, m = step(stacked, ib, lb)
+        jax.block_until_ready(m["loss"])
+
+    n_iters = int(os.environ.get("BENCH_ITERS", 20))
+    t0 = time.perf_counter()
+    st = st2
+    for _ in range(n_iters):
+        st, m = step(st, ib, lb)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    mode = "sharded" if mesh is not None else "vmap"
+    print(json.dumps({
+        "metric": (
+            f"scene_steps_per_sec[{renderer},{n_points}g,{h}px,"
+            f"s{s}-{mode}]"
+        ),
+        "value": round(n_iters * s / dt, 3),
+        "unit": f"scene-steps/s ({s} scenes/step)",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -267,12 +368,17 @@ def main():
     # the memory-scaling axis for scenes beyond one chip's HBM);
     # both together = hybrid DPxMP on a (D, M) 2D mesh
     mp = int(os.environ.get("BENCH_MP", 0))
+    # BENCH_SCENES=S: S independent scenes per step (multi-scene batch;
+    # BENCH_SCENES_SHARDED=1 shards the scene axis over the mesh)
+    scenes = int(os.environ.get("BENCH_SCENES", 0))
     if dp and mp:
         return run_hybrid_bench(dp, mp, n_points, h, renderer)
     if dp:
         return run_dp_bench(dp, n_points, h, renderer)
     if mp:
         return run_mp_bench(mp, n_points, h, renderer)
+    if scenes:
+        return run_scenes_bench(scenes, n_points, h, renderer)
 
     rng = np.random.default_rng(0)
     pts = rng.uniform(-1.5, 1.5, (n_points, 3)).astype(np.float32)

@@ -152,3 +152,111 @@ def test_sharded_multi_scene_matches_vmap(renderer):
         np.asarray(sh_stacked.params.means),
         np.asarray(ref_stacked.params.means), rtol=2e-4, atol=1e-6,
     )
+
+
+def test_multi_scene_trainer_parity_with_refine():
+    """MultiSceneTrainer (2 scenes, one stacked program) advances each
+    scene exactly as its standalone Trainer would, step-for-step across
+    a refine event: same sampler order, same refine masks, fp-tolerance
+    parameters — batching changes the schedule of nothing."""
+    from opensplat_tpu.data.dataset import Camera
+    from opensplat_tpu.parallel.multi_scene import MultiSceneTrainer
+    from opensplat_tpu.train import Trainer
+
+    def look_at(eye):
+        eye = np.asarray(eye, np.float64)
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(fwd, [0, 1, 0]); right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, eye
+        return c2w
+
+    def scene(seed, n_cams):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(-1.0, 1.0, (48, 3)).astype(np.float32)
+        rgb = rng.integers(0, 255, (48, 3)).astype(np.uint8)
+        st = init_model(pts, rgb, sh_degree=1, capacity=CAP,
+                        capacity_round=CAP, seed=seed)
+        cams = []
+        for i in range(n_cams):
+            a = 2 * np.pi * i / n_cams
+            cam = Camera(width=W, height=H, fx=40.0, fy=40.0,
+                         cx=W / 2.0, cy=H / 2.0,
+                         cam_to_world=look_at(
+                             (5 * np.sin(a), 0.4, 5 * np.cos(a))),
+                         file_path=f"s{seed}_c{i}.png")
+            cam.set_image(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+            cams.append(cam)
+        return st, cams
+
+    cfg = TrainConfig(num_iters=200, refine_every=8, warmup_length=4,
+                      reset_alpha_every=3, num_downscales=0,
+                      capacity_round=CAP)
+    # different camera counts: the reset-interval guard (model.cpp:341)
+    # must see each scene's own count
+    (st_a, cams_a), (st_b, cams_b) = scene(1, 3), scene(2, 5)
+
+    msc = MultiSceneTrainer([st_a, st_b], [cams_a, cams_b], cfg,
+                            renderer="tiled")
+    ref_a = Trainer(st_a, cams_a, cfg, renderer="tiled")
+    ref_b = Trainer(st_b, cams_b, cfg, renderer="tiled")
+
+    refined = False
+    for step in range(1, 18):
+        out = msc.run_step(step)
+        oa, ob = ref_a.run_step(step), ref_b.run_step(step)
+        per = np.asarray(out._metrics["loss_per_scene"])
+        np.testing.assert_allclose(per[0], oa.loss, rtol=5e-4)
+        np.testing.assert_allclose(per[1], ob.loss, rtol=5e-4)
+        if msc.refine_metrics is not None:
+            refined = True
+    assert refined
+    outs = msc.scene_states()
+    for got, ref in zip(outs, (ref_a.state, ref_b.state)):
+        cap = min(got.alive.shape[0], ref.alive.shape[0])
+        np.testing.assert_array_equal(
+            np.asarray(got.alive[:cap]), np.asarray(ref.alive[:cap])
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.params.means[:cap]),
+            np.asarray(ref.params.means[:cap]),
+            rtol=5e-3, atol=5e-5,
+        )
+
+
+def test_multi_scene_trainer_sharded():
+    """The sharded MultiSceneTrainer (scene axis over `data`) produces
+    the same per-scene losses as the vmapped one."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs devices")
+    from opensplat_tpu.data.dataset import Camera
+    from opensplat_tpu.parallel.multi_scene import MultiSceneTrainer
+
+    rng = np.random.default_rng(0)
+
+    def scene(seed):
+        r = np.random.default_rng(seed)
+        pts = r.uniform(-1.0, 1.0, (48, 3)).astype(np.float32)
+        rgb = r.integers(0, 255, (48, 3)).astype(np.uint8)
+        st = init_model(pts, rgb, sh_degree=1, capacity=CAP,
+                        capacity_round=CAP, seed=seed)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = 4.0
+        cam = Camera(width=W, height=H, fx=40.0, fy=40.0, cx=W / 2.0,
+                     cy=H / 2.0, cam_to_world=c2w, file_path=f"c{seed}.png")
+        cam.set_image(r.uniform(0, 1, (H, W, 3)).astype(np.float32))
+        return st, [cam]
+
+    cfg = TrainConfig(num_iters=100, num_downscales=0, capacity_round=CAP)
+    scenes = [scene(i) for i in range(2)]
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+
+    a = MultiSceneTrainer([s for s, _ in scenes], [c for _, c in scenes],
+                          cfg, renderer="tiled")
+    b = MultiSceneTrainer([s for s, _ in scenes], [c for _, c in scenes],
+                          cfg, renderer="tiled", mesh=mesh)
+    for step in range(1, 4):
+        la = np.asarray(a.run_step(step)._metrics["loss_per_scene"])
+        lb = np.asarray(b.run_step(step)._metrics["loss_per_scene"])
+        np.testing.assert_allclose(la, lb, rtol=1e-5)
