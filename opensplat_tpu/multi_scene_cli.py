@@ -119,9 +119,14 @@ def main(argv=None) -> int:
             )
 
     os.makedirs(args.output_dir, exist_ok=True)
+    used = set()
     for root, data, st in zip(args.projects, inputs, trainer.scene_states()):
         name = os.path.basename(os.path.normpath(root)) or "scene"
-        out_path = os.path.join(args.output_dir, f"{name}.ply")
+        uniq, k = name, 1
+        while uniq in used:  # two projects may share a basename
+            uniq, k = f"{name}_{k}", k + 1
+        used.add(uniq)
+        out_path = os.path.join(args.output_dir, f"{uniq}.ply")
         save_scene(
             st.params, st.alive, out_path, cfg.num_iters,
             keep_crs=args.keep_crs, scale=data.scale,

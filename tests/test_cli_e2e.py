@@ -233,3 +233,26 @@ def test_parity_report_harness(synthetic_project, tmp_path):
     assert rep["oracle_check"]["ok"], rep["oracle_check"]
     assert os.path.exists(out + ".md")
     assert os.path.exists(rep["scene"])
+
+
+def test_cli_multi_scene_batch(synthetic_project, tmp_path, capsys):
+    """multi_scene_cli trains S scenes in one stacked program and writes
+    one PLY per scene (the batch app over MultiSceneTrainer)."""
+    from opensplat_tpu import multi_scene_cli
+
+    out_dir = str(tmp_path / "batch")
+    rc = multi_scene_cli.main([
+        synthetic_project, synthetic_project,
+        "-o", out_dir,
+        "-n", "6",
+        "--renderer", "dense",
+        "--capacity", "256",
+        "--warmup-length", "500",
+    ])
+    assert rc == 0
+    name = os.path.basename(os.path.normpath(synthetic_project))
+    # same project given twice: outputs must not collide
+    assert os.path.exists(os.path.join(out_dir, f"{name}.ply"))
+    assert os.path.exists(os.path.join(out_dir, f"{name}_1.ply"))
+    txt = capsys.readouterr().out
+    assert "mean loss" in txt
