@@ -278,7 +278,8 @@ def _bwd_kernel(
     buf, gbuf, state, rbuf, sem, gsem, rsem, *, tb_x,
 ):
     del zeros_hbm  # aliased with grads_hbm; only the alias matters
-    # state (PIX, 8): col 0 = T_run, cols 1:4 = buffer rgb
+    # state (PIX, 8): col 0 = T_run, col 1 = buf_dot (running
+    # suffix-composited color dotted with the pixel's rgb cotangent)
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
@@ -291,9 +292,10 @@ def _bwd_kernel(
     v_r = cot[:, 0:1]
     v_g = cot[:, 1:2]
     v_b = cot[:, 2:3]
-    v_oa = cot[:, 3:4]
     T_final = cot[:, 4:5]
-    bg_dot = cot[:, 5:6]
+    # the final-T and background cotangents enter v_alpha only through
+    # -T_final * ra * (v_oa + bg_dot): fold them once per tile
+    vob = T_final * (cot[:, 3:4] + cot[:, 5:6])  # (PIX, 1)
     fidx = fidx_ref[0, :, :].reshape(PIX, 1)
 
     # early skip, the analogue of the CUDA warp_bin_final trick
@@ -345,7 +347,7 @@ def _bwd_kernel(
         col_b = col[2:3, :]
 
         T_run = state[:, 0:1]
-        buf_rgb = state[:, 1:4]
+        buf_dot = state[:, 1:2]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
         row_gk = base + lane
@@ -365,25 +367,20 @@ def _bwd_kernel(
         T_k = T_run * jnp.exp(sfx)  # (PIX, K)
         fac = alpha_b * T_k
 
-        con_r = fac * col_r
-        con_g = fac * col_g
-        con_b = fac * col_b
-        # one (3*PIX, K) suffix matmul instead of three (PIX, K) ones
-        bk = jnp.dot(
-            jnp.concatenate([con_r, con_g, con_b], axis=0), M_sfx_excl,
-            preferred_element_type=jnp.float32,
+        # bk_r/g/b (per-channel suffix sums of the composited color,
+        # backward.cu:306-321) enter v_alpha only through the dot product
+        # sum_c bk_c * v_c; since v_r/v_g/v_b are lane-constant per pixel,
+        # that dot equals suffix_excl(fac * w) + buf_dot with
+        # w = sum_c col_c * v_c — ONE (PIX, K) suffix matmul instead of a
+        # (3*PIX, K) one (halves the kernel's MXU work), and the running
+        # 3-channel buffer collapses to one scalar per pixel
+        w = col_r * v_r + col_g * v_g + col_b * v_b  # (PIX, K)
+        facw = fac * w
+        bkd = buf_dot + jnp.dot(
+            facw, M_sfx_excl, preferred_element_type=jnp.float32
         )
-        bk_r = buf_rgb[:, 0:1] + bk[0:PIX]
-        bk_g = buf_rgb[:, 1:2] + bk[PIX:2 * PIX]
-        bk_b = buf_rgb[:, 2:3] + bk[2 * PIX:]
 
-        v_alpha = (
-            (col_r * T_k - bk_r * ra) * v_r
-            + (col_g * T_k - bk_g * ra) * v_g
-            + (col_b * T_k - bk_b * ra) * v_b
-            - T_final * ra * v_oa
-            - T_final * ra * bg_dot
-        )
+        v_alpha = T_k * w - ra * (bkd + vob)
         v_alpha = jnp.where(comp, v_alpha, 0.0)
         v_sigma = -op * vis_u * v_alpha  # (PIX, K)
 
@@ -451,9 +448,7 @@ def _bwd_kernel(
         _out_dma(j, slot).start()
 
         state[:, 0:1] = T_run * jnp.exp(jnp.sum(lra, axis=1, keepdims=True))
-        state[:, 1:2] = buf_rgb[:, 0:1] + jnp.sum(con_r, axis=1, keepdims=True)
-        state[:, 2:3] = buf_rgb[:, 1:2] + jnp.sum(con_g, axis=1, keepdims=True)
-        state[:, 3:4] = buf_rgb[:, 2:3] + jnp.sum(con_b, axis=1, keepdims=True)
+        state[:, 1:2] = buf_dot + jnp.sum(facw, axis=1, keepdims=True)
         return j + 1
 
     def cond(j):
