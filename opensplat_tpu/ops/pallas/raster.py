@@ -400,14 +400,22 @@ def _bwd_kernel(
             ],
             axis=1,
         )  # (PIX, 9K)
-        # HIGHEST: the default bf16 pass would round each pixel
-        # contribution before accumulating (the VPU reduction this
-        # replaces was exact f32); the ones operand is bf16-exact either
-        # way and the matmul is tiny (256 x 9*128)
+        # pixel reduction at near-f32 accuracy in TWO bf16 passes instead
+        # of HIGHEST's six: fold the sublanes once (one f32 add — a
+        # reduction reordering), then split the folded operand into
+        # bf16 hi + bf16 residual and sum each with a DEFAULT-precision
+        # ones matmul (f32 accumulation). hi+lo represents the operand
+        # to ~2^-17 relative — below any fp-reordering-level deviation —
+        # at a third of the MXU passes on the kernel's dominant matmul.
+        half = PIX // 2
+        q128 = quants[0:half, :] + quants[half:PIX, :]  # (128, 9K)
+        q_hi = q128.astype(jnp.bfloat16)
+        q_lo = (q128 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ones = jnp.ones((1, half), jnp.bfloat16)
         sums = jnp.dot(
-            jnp.ones((1, PIX), jnp.float32), quants,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            ones, q_hi, preferred_element_type=jnp.float32
+        ) + jnp.dot(
+            ones, q_lo, preferred_element_type=jnp.float32
         )  # (1, 9K)
         g_x, g_y, g_A, g_B, g_C, g_op, g_r, g_g, g_b = (
             sums[:, k * K:(k + 1) * K] for k in range(9)
