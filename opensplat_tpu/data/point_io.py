@@ -292,7 +292,68 @@ def _read_las_point_set(filename: str) -> PointSet:
     return PointSet(points=points, colors=colors)
 
 
+def _save_las(pset: PointSet, filename: str):
+    """Uncompressed LAS 1.2 writer (point record format 2: XYZ + RGB) in
+    pure numpy — the native counterpart of the reference's optional PDAL
+    writer (point_io.cpp:411-459, savePointSet LAS branch). Colors use
+    the 16-bit convention (v * 257) so spec-conformant readers — and
+    _read_las_numpy — recover the exact 8-bit values."""
+    n = pset.count()
+    pts = pset.points.astype(np.float64)
+    lo = pts.min(axis=0) if n else np.zeros(3)
+    hi = pts.max(axis=0) if n else np.zeros(3)
+    # per-axis scale: span the extent over the int32 range (never below
+    # 1e-9 so degenerate axes still encode)
+    scale = np.maximum((hi - lo) / (2**31 - 2), 1e-9)
+    header = bytearray(227)
+    header[0:4] = b"LASF"
+    header[24] = 1  # version major
+    header[25] = 2  # version minor
+    header[26:26 + 13] = b"opensplat_tpu"
+    header[58:58 + 13] = b"opensplat_tpu"
+    header[94:96] = np.uint16(227).tobytes()  # header size
+    header[96:100] = np.uint32(227).tobytes()  # offset to point data
+    header[104] = 2  # point data record format
+    header[105:107] = np.uint16(26).tobytes()  # record length
+    header[107:111] = np.uint32(n).tobytes()
+    header[111:115] = np.uint32(n).tobytes()  # points by return[0]
+    header[131:155] = scale.astype("<f8").tobytes()
+    header[155:179] = lo.astype("<f8").tobytes()
+    header[179:227] = np.stack(
+        [hi, lo], axis=1
+    ).reshape(-1).astype("<f8").tobytes()  # max/min interleaved per axis
+
+    rec = np.zeros(
+        n,
+        dtype=np.dtype(
+            [("xyz", "<i4", 3), ("intensity", "<u2"), ("flags", "u1"),
+             ("cls", "u1"), ("angle", "i1"), ("user", "u1"),
+             ("src", "<u2"), ("rgb", "<u2", 3)]
+        ),
+    )
+    rec["xyz"] = np.round((pts - lo[None, :]) / scale[None, :]).astype(np.int32)
+    if pset.colors is not None:
+        rec["rgb"] = pset.colors.astype(np.uint16) * 257
+    with open(filename, "wb") as f:
+        f.write(bytes(header))
+        f.write(rec.tobytes())
+
+
 def save_point_set(pset: PointSet, filename: str):
+    """Point-cloud writer dispatched by extension, like the reference's
+    savePointSet (point_io.cpp:411-459): .las gets the native LAS
+    writer, everything else the fast binary PLY path."""
+    if filename.lower().endswith((".las", ".laz")):
+        if filename.lower().endswith(".laz"):
+            raise RuntimeError(
+                "LAZ compression on write is not supported (the reference "
+                "needs optional PDAL for it too); write .las instead"
+            )
+        return _save_las(pset, filename)
+    return _save_ply(pset, filename)
+
+
+def _save_ply(pset: PointSet, filename: str):
     """Binary-LE PLY writer, same layout as the reference
     (point_io.cpp:461-501)."""
     n = pset.count()

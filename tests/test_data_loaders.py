@@ -433,3 +433,32 @@ def test_las_reader_numpy(tmp_path):
     except ImportError:
         with pytest.raises(RuntimeError, match="laspy"):
             read_point_set(pz)
+
+
+def test_las_writer_roundtrip(tmp_path):
+    """save_point_set('.las') mirrors the reference's PDAL write branch
+    (point_io.cpp:411-459): LAS 1.2 format-2 records round-trip XYZ
+    (int32 quantization over the extent) and exact 8-bit RGB."""
+    from opensplat_tpu.data.point_io import PointSet, save_point_set
+
+    rng = np.random.default_rng(12)
+    pts = rng.uniform(-80, 80, (300, 3)).astype(np.float32)
+    rgb = rng.integers(0, 256, (300, 3)).astype(np.uint8)
+
+    p = str(tmp_path / "out.las")
+    save_point_set(PointSet(points=pts, colors=rgb), p)
+    ps = read_point_set(p)
+    assert ps.count() == 300
+    np.testing.assert_allclose(ps.points, pts, atol=1e-4)
+    np.testing.assert_array_equal(ps.colors, rgb)
+
+    # colorless cloud still reads (RGB fields zero but present in fmt 2)
+    p2 = str(tmp_path / "nocolor.las")
+    save_point_set(PointSet(points=pts), p2)
+    ps2 = read_point_set(p2)
+    np.testing.assert_allclose(ps2.points, pts, atol=1e-4)
+
+    # .laz on write: clear actionable error, like the reference's
+    # PDAL-gated path
+    with pytest.raises(RuntimeError, match="LAZ"):
+        save_point_set(PointSet(points=pts), str(tmp_path / "x.laz"))
