@@ -61,7 +61,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..projection import BLOCK_X, BLOCK_Y
 from ..rasterize import ALPHA_THRESH, BWD_ALPHA_CLAMP, FWD_ALPHA_CLAMP, T_EPS
 
-K = 128  # isects per chunk (lane dim)
+# isects per chunk (lane dim), env-tunable for on-chip A/B: larger K
+# halves per-chunk fixed overhead (loop control, DMA setup, state RMW)
+# but doubles the triangular-matmul work per isect. Must be a multiple
+# of 128 (lane alignment of the chunk DMA windows).
+K = int(__import__("os").environ.get("OPENSPLAT_TPU_RASTER_K", 128))
+assert K % 128 == 0 and K > 0, K
 PIX = BLOCK_X * BLOCK_Y  # 256 pixels per tile (sublane dim)
 REC_IN = 8  # input record planes (packed colors)
 # gradient record planes: 5 meaningful (4 bf16 pairs + v_b) + 3 zero
