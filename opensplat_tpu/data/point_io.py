@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import struct
+import warnings
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -341,16 +342,54 @@ def _save_las(pset: PointSet, filename: str):
 
 def save_point_set(pset: PointSet, filename: str):
     """Point-cloud writer dispatched by extension, like the reference's
-    savePointSet (point_io.cpp:411-459): .las gets the native LAS
-    writer, everything else the fast binary PLY path."""
-    if filename.lower().endswith((".las", ".laz")):
-        if filename.lower().endswith(".laz"):
-            raise RuntimeError(
-                "LAZ compression on write is not supported (the reference "
-                "needs optional PDAL for it too); write .las instead"
+    savePointSet (point_io.cpp:411-414): .ply gets the fast binary PLY
+    path, .las the native LAS writer, .laz a laspy write when the
+    optional package is installed; anything else errors (the reference
+    routes unknown extensions to PDAL and errors without it)."""
+    lower = filename.lower()
+    if lower.endswith((".las", ".laz")):
+        if pset.normals is not None or pset.views is not None:
+            warnings.warn(
+                "LAS point record format 2 cannot carry normals/views; "
+                "they are dropped on write (use .ply to keep them)",
+                stacklevel=2,
             )
+        if lower.endswith(".laz"):
+            return _save_laz(pset, filename)
         return _save_las(pset, filename)
-    return _save_ply(pset, filename)
+    if lower.endswith(".ply"):
+        return _save_ply(pset, filename)
+    raise RuntimeError(
+        f"Unsupported file extension: {filename} (supported: .ply, .las, "
+        ".laz — mirroring the reference's savePointSet dispatch, "
+        "point_io.cpp:411-414)"
+    )
+
+
+def _save_laz(pset: PointSet, filename: str):
+    """LAZ writer via optional laspy[lazrs] (the read path's optional-
+    dependency pattern; the reference needs optional PDAL for LAZ too,
+    point_io.cpp:411-459)."""
+    try:
+        import laspy  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "LAZ compression on write requires the optional laspy[lazrs] "
+            "package (the reference needs optional PDAL for it too); "
+            "write .las instead"
+        ) from e
+    header = laspy.LasHeader(version="1.2", point_format=2)
+    pts = pset.points.astype(np.float64)
+    lo = pts.min(axis=0) if len(pts) else np.zeros(3)
+    hi = pts.max(axis=0) if len(pts) else np.zeros(3)
+    header.offsets = lo
+    header.scales = np.maximum((hi - lo) / (2**31 - 2), 1e-9)
+    las = laspy.LasData(header)
+    las.x, las.y, las.z = pts[:, 0], pts[:, 1], pts[:, 2]
+    if pset.colors is not None:
+        rgb16 = pset.colors.astype(np.uint16) * 257
+        las.red, las.green, las.blue = rgb16[:, 0], rgb16[:, 1], rgb16[:, 2]
+    las.write(filename)
 
 
 def _save_ply(pset: PointSet, filename: str):

@@ -52,6 +52,7 @@ the gid payload sort to 6 operands from 10.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -66,8 +67,13 @@ from ..rasterize import ALPHA_THRESH, BWD_ALPHA_CLAMP, FWD_ALPHA_CLAMP, T_EPS
 # but doubles the triangular-matmul work per isect. Must be a multiple
 # of 128 (lane alignment of the chunk DMA windows). 256 measured best
 # on v5e (+1.6% whole-step at 131k@512, +0.8% at 1M@1080 vs 128).
-K = int(__import__("os").environ.get("OPENSPLAT_TPU_RASTER_K", 256))
-assert K % 128 == 0 and K > 0, K
+K = int(os.environ.get("OPENSPLAT_TPU_RASTER_K", 256))
+if K % 128 != 0 or K <= 0:
+    # a misaligned K would silently corrupt the K-aligned DMA window
+    # math (pl.multiple_of / pl.ds) — fail fast even under python -O
+    raise ValueError(
+        f"OPENSPLAT_TPU_RASTER_K must be a positive multiple of 128, got {K}"
+    )
 PIX = BLOCK_X * BLOCK_Y  # 256 pixels per tile (sublane dim)
 REC_IN = 8  # input record planes (packed colors)
 # gradient record planes: 5 meaningful (4 bf16 pairs + v_b) + 3 zero
@@ -410,9 +416,12 @@ def _bwd_kernel(
         # of HIGHEST's six: fold the sublanes once (one f32 add — a
         # reduction reordering), then split the folded operand into
         # bf16 hi + bf16 residual and sum each with a DEFAULT-precision
-        # ones matmul (f32 accumulation). hi+lo represents the operand
-        # to ~2^-17 relative — below any fp-reordering-level deviation —
-        # at a third of the MXU passes on the kernel's dominant matmul.
+        # ones matmul (f32 accumulation). hi+lo represents each term to
+        # ~2^-17 relative — under heavy cancellation across the 128-term
+        # sums this can exceed pure-f32 reordering noise (~2^-23), but
+        # stays far below the bf16 packing of the gradient records and
+        # training noise; pinned by the backward conformance tests'
+        # tolerance vs the HIGHEST-precision oracle path.
         half = PIX // 2
         q128 = quants[0:half, :] + quants[half:PIX, :]  # (128, 9K)
         q_hi = q128.astype(jnp.bfloat16)

@@ -458,7 +458,28 @@ def test_las_writer_roundtrip(tmp_path):
     ps2 = read_point_set(p2)
     np.testing.assert_allclose(ps2.points, pts, atol=1e-4)
 
-    # .laz on write: clear actionable error, like the reference's
-    # PDAL-gated path
-    with pytest.raises(RuntimeError, match="LAZ"):
-        save_point_set(PointSet(points=pts), str(tmp_path / "x.laz"))
+    # .laz on write: laspy roundtrip when installed, else a clear
+    # actionable error, like the reference's PDAL-gated path
+    try:
+        import laspy  # noqa: F401
+
+        pz = str(tmp_path / "x.laz")
+        save_point_set(PointSet(points=pts, colors=rgb), pz)
+        psz = read_point_set(pz)
+        np.testing.assert_allclose(psz.points, pts, atol=1e-4)
+        np.testing.assert_array_equal(psz.colors, rgb)
+    except ImportError:
+        with pytest.raises(RuntimeError, match="LAZ"):
+            save_point_set(PointSet(points=pts), str(tmp_path / "x.laz"))
+
+    # unknown extensions error like the reference's savePointSet
+    # (point_io.cpp:411-414) instead of silently writing PLY bytes
+    with pytest.raises(RuntimeError, match="[Uu]nsupported"):
+        save_point_set(PointSet(points=pts), str(tmp_path / "x.xyz"))
+
+    # LAS format 2 cannot carry normals/views: warn, don't drop silently
+    with pytest.warns(UserWarning, match="normals"):
+        save_point_set(
+            PointSet(points=pts, normals=pts.copy()),
+            str(tmp_path / "n.las"),
+        )
