@@ -389,7 +389,15 @@ def _save_laz(pset: PointSet, filename: str):
     if pset.colors is not None:
         rgb16 = pset.colors.astype(np.uint16) * 257
         las.red, las.green, las.blue = rgb16[:, 0], rgb16[:, 1], rgb16[:, 2]
-    las.write(filename)
+    try:
+        las.write(filename)
+    except laspy.LaspyException as e:
+        # laspy installed but no LAZ backend (lazrs/laszip) — surface the
+        # same actionable message as the missing-package path
+        raise RuntimeError(
+            "LAZ compression on write requires a laspy LAZ backend "
+            "(pip install 'laspy[lazrs]'); write .las instead"
+        ) from e
 
 
 def _save_ply(pset: PointSet, filename: str):

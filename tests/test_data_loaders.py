@@ -459,18 +459,26 @@ def test_las_writer_roundtrip(tmp_path):
     np.testing.assert_allclose(ps2.points, pts, atol=1e-4)
 
     # .laz on write: laspy roundtrip when installed, else a clear
-    # actionable error, like the reference's PDAL-gated path
-    try:
-        import laspy  # noqa: F401
+    # actionable error, like the reference's PDAL-gated path. Probe
+    # availability FIRST so an ImportError raised inside the roundtrip
+    # can never divert into the error-branch assertion.
+    import importlib.util
 
-        pz = str(tmp_path / "x.laz")
-        save_point_set(PointSet(points=pts, colors=rgb), pz)
-        psz = read_point_set(pz)
-        np.testing.assert_allclose(psz.points, pts, atol=1e-4)
-        np.testing.assert_array_equal(psz.colors, rgb)
-    except ImportError:
+    pz = str(tmp_path / "x.laz")
+    if importlib.util.find_spec("laspy") is not None:
+        try:
+            save_point_set(PointSet(points=pts, colors=rgb), pz)
+        except RuntimeError as e:
+            # laspy installed without a LAZ backend (lazrs/laszip):
+            # the writer must still raise the actionable message
+            assert "lazrs" in str(e) or "LAZ" in str(e)
+        else:
+            psz = read_point_set(pz)
+            np.testing.assert_allclose(psz.points, pts, atol=1e-4)
+            np.testing.assert_array_equal(psz.colors, rgb)
+    else:
         with pytest.raises(RuntimeError, match="LAZ"):
-            save_point_set(PointSet(points=pts), str(tmp_path / "x.laz"))
+            save_point_set(PointSet(points=pts), pz)
 
     # unknown extensions error like the reference's savePointSet
     # (point_io.cpp:411-414) instead of silently writing PLY bytes
