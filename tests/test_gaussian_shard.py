@@ -126,13 +126,15 @@ def test_gs_collective_schedule():
     assert "reduce-scatter" in hlo, "no reduce-scatter"
 
 
-@pytest.mark.parametrize("renderer", ["dense", "tiled"])
+@pytest.mark.parametrize("renderer", ["dense", "tiled", "pallas"])
 def test_dpgs_hybrid_matches_dp_replicated(renderer):
     """Hybrid camera-DP x Gaussian-MP on a 2x2 (data, model) mesh equals
     the replicated camera-DP step (itself pinned to D sequential
     reference steps): same loss, fp-tolerance-equal parameter updates
     through the reduce-scatter+psum transpose chain, and identical
-    densify-stat fold."""
+    densify-stat fold. Includes the pallas renderer (interpret mode on
+    the CPU mesh): shard_map around the opaque Pallas custom calls on
+    BOTH mesh axes is the highest-risk partitioner composition."""
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -135,12 +135,15 @@ def test_gs_v_budget_overflow_logged_and_regrown(capsys):
     assert gst.v_overflow_events == 1
 
 
-def test_hybrid_trainer_parity_with_refine():
+@pytest.mark.parametrize("renderer", ["tiled", "pallas"])
+def test_hybrid_trainer_parity_with_refine(renderer):
     """Hybrid GSTrainer (2-camera DP x 2-shard MP on 4 devices) equals
     the replicated DPTrainer with the same 2-camera batches step-for-step
     across a refine event: same sampler order, same refine masks,
     fp-tolerance-equal parameters — both scaling axes composed without
-    changing the training semantics."""
+    changing the training semantics. The pallas leg pins the 2D-mesh
+    shard_map around the opaque Pallas custom calls THROUGH a refine
+    event (the shape-changing case) in interpret mode on the CPU mesh."""
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
     from opensplat_tpu.parallel.dp_trainer import DPTrainer
@@ -149,9 +152,9 @@ def test_hybrid_trainer_parity_with_refine():
     cams, pts, rgb, cfg = _training_setup()
 
     dp_mesh = _mk(n_data=2, n_model=1, devices=jax.devices()[:2])
-    ref = DPTrainer(_fresh_state(pts, rgb), cams, cfg, renderer="tiled",
+    ref = DPTrainer(_fresh_state(pts, rgb), cams, cfg, renderer=renderer,
                     mesh=dp_mesh, d_local=1)
-    hyb = GSTrainer(_fresh_state(pts, rgb), cams, cfg, renderer="tiled",
+    hyb = GSTrainer(_fresh_state(pts, rgb), cams, cfg, renderer=renderer,
                     n_model=2, n_data=2)
     assert hyb.d_total == ref.d_total == 2
 
