@@ -18,6 +18,20 @@ Layer map (mirrors SURVEY.md §1 of the reference, re-architected):
 
 __version__ = "0.1.0"
 
+# Make JAX_PLATFORMS=cpu actually stick: some accelerator plugins
+# (e.g. tunneled TPU pools registered from sitecustomize) register
+# their backend regardless of the env var, and a CLI run intended for
+# CPU then silently claims the accelerator. Mirroring the env var into
+# jax.config before any entry point touches jax closes that hole; when
+# the env var is unset or names the plugin platform this is a no-op.
+import os as _os
+
+if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+del _os
+
 
 def __getattr__(name):
     # lazy top-level conveniences without import-time jax cost

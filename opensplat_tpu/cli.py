@@ -251,9 +251,10 @@ def main(argv=None) -> int:
                 key=lambda p: int(re.search(r"ckpt_(\d+)\.npz$", p).group(1)),
             )
     start_step = 1
+    resume_draws = -1
     if resume_path:
         if resume_path.endswith(".npz"):
-            state, step0 = load_checkpoint(resume_path)
+            state, step0, resume_draws = load_checkpoint(resume_path)
         else:
             state, step0 = load_ply(
                 resume_path,
@@ -325,6 +326,16 @@ def main(argv=None) -> int:
                             n_model=n_model)
     else:
         trainer = Trainer(state, cams, cfg, renderer=renderer)
+
+    if resume_path:
+        # replay the camera sampler to the crash point so the resumed
+        # trajectory continues the uninterrupted run's camera order
+        # exactly; PLY/legacy checkpoints (no recorded position) fall
+        # back to steps-times-batch, exact for uniform-size datasets
+        ff = resume_draws if resume_draws >= 0 else (
+            (start_step - 1) * trainer.d_total
+        )
+        trainer.sampler.fast_forward(ff)
 
     from .utils.metrics import MetricsLogger, profile_trace
 
@@ -405,7 +416,9 @@ def main(argv=None) -> int:
             ckpt_dir = cfg.ckpt_dir or os.path.dirname(cfg.output) or "."
             os.makedirs(ckpt_dir, exist_ok=True)
             save_checkpoint(
-                trainer.state, step, os.path.join(ckpt_dir, f"ckpt_{step}.npz")
+                trainer.state, step,
+                os.path.join(ckpt_dir, f"ckpt_{step}.npz"),
+                sampler_draws=trainer.sampler.draws,
             )
         if cfg.val_render and step % 10 == 0:
             rgb = np.asarray(trainer.render(val_cam, step))

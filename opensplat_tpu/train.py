@@ -132,21 +132,34 @@ train_step = partial(
 
 
 class InfiniteRandomSampler:
-    """Reshuffling camera sampler (utils.hpp:14-38 semantics, numpy RNG)."""
+    """Reshuffling camera sampler (utils.hpp:14-38 semantics, numpy RNG).
+
+    `draws` counts every next() so a resumed run can fast_forward() to
+    the exact sampler position recorded in a native checkpoint — the
+    resumed trajectory then replays the uninterrupted run's camera order
+    exactly (crash recovery, cli.py --auto-resume)."""
 
     def __init__(self, n: int, seed: int = 42):
         self._rng = np.random.default_rng(seed)
         self._n = n
         self._order = self._rng.permutation(n)
         self._i = 0
+        self.draws = 0
 
     def next(self) -> int:
         idx = int(self._order[self._i])
         self._i += 1
+        self.draws += 1
         if self._i >= self._n:
             self._order = self._rng.permutation(self._n)
             self._i = 0
         return idx
+
+    def fast_forward(self, n_draws: int) -> None:
+        """Advance to the state after `n_draws` next() calls from fresh."""
+        for _ in range(max(0, int(n_draws))):
+            self.next()
+        self.draws = max(0, int(n_draws))
 
 
 @dataclass
