@@ -1,6 +1,11 @@
 """Benchmark: full train-step throughput on a synthetic scene.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Default run = the full 131k@512 / 524k@800 / 1M@1080 sweep: one JSON
+line per config (steps/s + the BASELINE.md:30-31 metrics Mpix/s, rays/s,
+gaussians/s), then the headline 131k@512 line LAST with the whole sweep
+attached under "sweep" (the driver records the tail line). Setting
+BENCH_POINTS/BENCH_RES keeps the historical single-config single-line
+contract.
 
 The reference publishes no quantitative numbers (BASELINE.md), so
 vs_baseline is the ratio against a locally-recorded anchor in
@@ -97,6 +102,7 @@ def run_dp_bench(d, n_points, h, renderer):
         "value": round(steps_per_sec, 3),
         "unit": f"steps/s ({d} cameras/step)",
         "vs_baseline": None,
+        **_derived(steps_per_sec, h, w, n_points, cams_per_step=d),
     }))
 
 
@@ -180,6 +186,7 @@ def run_hybrid_bench(d, m, n_points, h, renderer):
         "value": round(n_iters / dt, 3),
         "unit": f"steps/s ({d} cameras/step, capacity 1/{m})",
         "vs_baseline": None,
+        **_derived(n_iters / dt, h, w, n_points, cams_per_step=d),
     }))
 
 
@@ -246,6 +253,7 @@ def run_mp_bench(m, n_points, h, renderer):
         "value": round(n_iters / dt, 3),
         "unit": f"steps/s (capacity sharded 1/{m})",
         "vs_baseline": None,
+        **_derived(n_iters / dt, h, w, n_points),
     }))
 
 
@@ -339,47 +347,39 @@ def run_scenes_bench(s, n_points, h, renderer):
         "value": round(n_iters * s / dt, 3),
         "unit": f"scene-steps/s ({s} scenes/step)",
         "vs_baseline": None,
+        **_derived(n_iters * s / dt, h, w, n_points),
     }))
 
 
-def main():
+# The BASELINE.md targets are written in rendered Mpix/s, rays/s and
+# gaussians/s (BASELINE.md:30-31) — emit them alongside steps/s. One
+# training step renders h*w pixels (1 ray each) and advances every alive
+# Gaussian once.
+def _derived(steps_per_sec, h, w, n_alive, cams_per_step=1):
+    pix = h * w * cams_per_step
+    return {
+        "mpix_per_sec": round(steps_per_sec * pix / 1e6, 3),
+        "rays_per_sec": round(steps_per_sec * pix, 1),
+        "gaussians_per_sec": round(steps_per_sec * n_alive, 1),
+    }
+
+
+# default full sweep (VERDICT r2 item 2): all three stress configs in ONE
+# driver run so BENCH_r{N}.json captures the sizes that matter
+SWEEP = ((131072, 512), (524288, 800), (1048576, 1080))
+
+
+def run_single(n_points, h, renderer, emit=True):
     import jax
     import jax.numpy as jnp
-
-    from opensplat_tpu.cli import _enable_compilation_cache
-
-    _enable_compilation_cache()
 
     from opensplat_tpu.config import TrainConfig
     from opensplat_tpu.models.gaussians import init_model
     from opensplat_tpu.optim.adam import means_lr_schedule
     from opensplat_tpu.train import train_step
 
-    # synthetic scene sized to exercise the renderer meaningfully
-    n_points = int(os.environ.get("BENCH_POINTS", 131072))
     capacity = n_points
-    h = w = int(os.environ.get("BENCH_RES", 512))
-    default_renderer = "pallas" if jax.default_backend() == "tpu" else "tiled"
-    renderer = os.environ.get("BENCH_RENDERER", default_renderer)
-    # BENCH_DP=D: camera-data-parallel step over a D-device mesh
-    # (one camera per device, ONE gradient psum) — the v5e-8 target path
-    dp = int(os.environ.get("BENCH_DP", 0))
-    # BENCH_MP=M: Gaussian-model-parallel step (capacity sharded 1/M —
-    # the memory-scaling axis for scenes beyond one chip's HBM);
-    # both together = hybrid DPxMP on a (D, M) 2D mesh
-    mp = int(os.environ.get("BENCH_MP", 0))
-    # BENCH_SCENES=S: S independent scenes per step (multi-scene batch;
-    # BENCH_SCENES_SHARDED=1 shards the scene axis over the mesh)
-    scenes = int(os.environ.get("BENCH_SCENES", 0))
-    if dp and mp:
-        return run_hybrid_bench(dp, mp, n_points, h, renderer)
-    if dp:
-        return run_dp_bench(dp, n_points, h, renderer)
-    if mp:
-        return run_mp_bench(mp, n_points, h, renderer)
-    if scenes:
-        return run_scenes_bench(scenes, n_points, h, renderer)
-
+    w = h
     rng = np.random.default_rng(0)
     pts = rng.uniform(-1.5, 1.5, (n_points, 3)).astype(np.float32)
     rgb = rng.integers(0, 255, (n_points, 3)).astype(np.uint8)
@@ -422,10 +422,10 @@ def main():
 
     vs_baseline = None
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
+    metric_name = f"train_steps_per_sec[{renderer},{n_points}g,{h}px]"
     if os.path.exists(anchor_path):
         try:
             anchor = json.load(open(anchor_path))
-            metric_name = f"train_steps_per_sec[{renderer},{n_points}g,{h}px]"
             ref = anchor.get("per_metric", {}).get(
                 metric_name, anchor.get("steps_per_sec")
             )
@@ -434,12 +434,65 @@ def main():
         except Exception:
             pass
 
-    print(json.dumps({
-        "metric": f"train_steps_per_sec[{renderer},{n_points}g,{h}px]",
+    rec = {
+        "metric": metric_name,
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": vs_baseline,
-    }))
+        **_derived(steps_per_sec, h, w, int(m["n_alive"])),
+    }
+    if emit:
+        print(json.dumps(rec))
+    return rec
+
+
+def main():
+    import jax
+
+    from opensplat_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
+    default_renderer = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    renderer = os.environ.get("BENCH_RENDERER", default_renderer)
+    # BENCH_DP=D: camera-data-parallel step over a D-device mesh
+    # (one camera per device, ONE gradient psum) — the v5e-8 target path
+    dp = int(os.environ.get("BENCH_DP", 0))
+    # BENCH_MP=M: Gaussian-model-parallel step (capacity sharded 1/M —
+    # the memory-scaling axis for scenes beyond one chip's HBM);
+    # both together = hybrid DPxMP on a (D, M) 2D mesh
+    mp = int(os.environ.get("BENCH_MP", 0))
+    # BENCH_SCENES=S: S independent scenes per step (multi-scene batch;
+    # BENCH_SCENES_SHARDED=1 shards the scene axis over the mesh)
+    scenes = int(os.environ.get("BENCH_SCENES", 0))
+    n_points_env = os.environ.get("BENCH_POINTS")
+    res_env = os.environ.get("BENCH_RES")
+    n_points = int(n_points_env or 131072)
+    h = int(res_env or 512)
+    if dp and mp:
+        return run_hybrid_bench(dp, mp, n_points, h, renderer)
+    if dp:
+        return run_dp_bench(dp, n_points, h, renderer)
+    if mp:
+        return run_mp_bench(mp, n_points, h, renderer)
+    if scenes:
+        return run_scenes_bench(scenes, n_points, h, renderer)
+
+    if n_points_env or res_env:
+        # explicit single config (the historical BENCH_POINTS/BENCH_RES
+        # interface): one JSON line, unchanged contract
+        run_single(n_points, h, renderer)
+        return
+
+    # default: the full sweep, one JSON line per config, then the
+    # headline line (131k@512, the anchor-tracked config) LAST with the
+    # whole sweep attached so the driver-parsed record carries every size
+    results = []
+    for np_, res_ in SWEEP:
+        results.append(run_single(np_, res_, renderer, emit=True))
+    head = dict(results[0])
+    head["sweep"] = results
+    print(json.dumps(head))
 
 
 if __name__ == "__main__":
