@@ -69,31 +69,32 @@ def run_dp_bench(d, n_points, h, renderer):
         ),
     ]
     lr = means_lr_schedule(cfg.lr_means, cfg.lr_means_final, cfg.num_iters, 0)
-    pend = jax.device_put(jnp.zeros((2,), jnp.int32), rep)
+    pend = jax.device_put(jnp.zeros((3,), jnp.int32), rep)
 
-    def step(state, pend, ib=0, lb=0):
+    def step(state, pend, ib=0, lb=0, gb=0):
         return dp_train_step(
             state, *args, lr, pend, mesh, h, w, 3, cfg, True, renderer,
-            isect_budget=ib, layout_budget=lb,
+            isect_budget=ib, layout_budget=lb, grad_budget=gb,
         )
 
     state2, m = step(state, pend)
     jax.block_until_ready(m["loss"])
-    ib = lb = 0
+    ib = lb = gb = 0
     dmd = np.asarray(m["demand"])
     if renderer in ("tiled", "pallas") and dmd[0] > 0:
         bucket = 131072
         fit = lambda v: (int(int(v) * 1.15) + bucket - 1) // bucket * bucket
         ib = fit(dmd[0])
         lb = fit(dmd[1]) if dmd[1] > 0 else 0
-        state2, m = step(state, pend, ib, lb)
+        gb = fit(dmd[2]) if len(dmd) > 2 and dmd[2] > 0 else 0
+        state2, m = step(state, pend, ib, lb, gb)
         jax.block_until_ready(m["loss"])
 
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
     t0 = time.perf_counter()
     st = state2
     for _ in range(n_iters):
-        st, m = step(st, m["demand"], ib, lb)
+        st, m = step(st, m["demand"], ib, lb, gb)
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
     steps_per_sec = n_iters / dt
@@ -150,32 +151,34 @@ def run_hybrid_bench(d, m, n_points, h, renderer):
     ]
     lr = means_lr_schedule(cfg.lr_means, cfg.lr_means_final, cfg.num_iters, 0)
 
-    def step(state, ib=0, lb=0, v=n_points // m):
+    def step(state, ib=0, lb=0, gb=0, v=n_points // m):
         return dpgs_train_step(
             state, *args, lr, mesh, h, w, 3, cfg, True, v_budget=v,
             renderer=renderer, isect_budget=ib, layout_budget=lb,
+            grad_budget=gb,
         )
 
     state2, mm = step(state)
     jax.block_until_ready(mm["loss"])
     dmd = np.asarray(mm["demand"])
-    ib = lb = 0
+    ib = lb = gb = 0
     v = n_points // m
-    if dmd[2] > 0:
-        v = min(n_points // m, (int(dmd[2] * 1.3) + 1023) // 1024 * 1024)
+    if dmd[3] > 0:
+        v = min(n_points // m, (int(dmd[3] * 1.3) + 1023) // 1024 * 1024)
     if renderer in ("tiled", "pallas") and dmd[0] > 0:
         bucket = 131072
         fit = lambda x: (int(int(x) * 1.15) + bucket - 1) // bucket * bucket
         ib = fit(dmd[0])
         lb = fit(dmd[1]) if dmd[1] > 0 else 0
-    state2, mm = step(state, ib, lb, v)
+        gb = fit(dmd[2]) if dmd[2] > 0 else 0
+    state2, mm = step(state, ib, lb, gb, v)
     jax.block_until_ready(mm["loss"])
 
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
     t0 = time.perf_counter()
     st = state2
     for _ in range(n_iters):
-        st, mm = step(st, ib, lb, v)
+        st, mm = step(st, ib, lb, gb, v)
     jax.block_until_ready(mm["loss"])
     dt = time.perf_counter() - t0
     print(json.dumps({
@@ -219,33 +222,35 @@ def run_mp_bench(m, n_points, h, renderer):
     gt = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
     lr = means_lr_schedule(cfg.lr_means, cfg.lr_means_final, cfg.num_iters, 0)
 
-    def step(state, ib=0, lb=0, v=n_points // m):
+    def step(state, ib=0, lb=0, gb=0, v=n_points // m):
         return gs_train_step(
             state, jnp.asarray(c2w), 0.9 * w, 0.9 * w, w / 2.0, h / 2.0,
             gt, lr, mesh, h, w, 3, cfg, True, v_budget=v,
             renderer=renderer, isect_budget=ib, layout_budget=lb,
+            grad_budget=gb,
         )
 
     state2, mm = step(state)
     jax.block_until_ready(mm["loss"])
     dmd = np.asarray(mm["demand"])
-    ib = lb = 0
+    ib = lb = gb = 0
     v = n_points // m
-    if dmd[2] > 0:
-        v = min(n_points // m, (int(dmd[2] * 1.3) + 1023) // 1024 * 1024)
+    if dmd[3] > 0:
+        v = min(n_points // m, (int(dmd[3] * 1.3) + 1023) // 1024 * 1024)
     if renderer in ("tiled", "pallas") and dmd[0] > 0:
         bucket = 131072
         fit = lambda x: (int(int(x) * 1.15) + bucket - 1) // bucket * bucket
         ib = fit(dmd[0])
         lb = fit(dmd[1]) if dmd[1] > 0 else 0
-    state2, mm = step(state, ib, lb, v)
+        gb = fit(dmd[2]) if dmd[2] > 0 else 0
+    state2, mm = step(state, ib, lb, gb, v)
     jax.block_until_ready(mm["loss"])
 
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
     t0 = time.perf_counter()
     st = state2
     for _ in range(n_iters):
-        st, mm = step(st, ib, lb, v)
+        st, mm = step(st, ib, lb, gb, v)
     jax.block_until_ready(mm["loss"])
     dt = time.perf_counter() - t0
     print(json.dumps({
@@ -312,30 +317,32 @@ def run_scenes_bench(s, n_points, h, renderer):
     ]
     lr = means_lr_schedule(cfg.lr_means, cfg.lr_means_final, cfg.num_iters, 0)
 
-    def step(st, ib=0, lb=0):
+    def step(st, ib=0, lb=0, gb=0):
         kw = dict(height=h, width=w, sh_deg=3, cfg=cfg, accumulate=True,
-                  renderer=renderer, isect_budget=ib, layout_budget=lb)
+                  renderer=renderer, isect_budget=ib, layout_budget=lb,
+                  grad_budget=gb)
         if mesh is not None:
             return sharded_multi_scene_step(st, *args, lr, mesh=mesh, **kw)
         return multi_scene_train_step(st, *args, lr, **kw)
 
     st2, m = step(stacked)
     jax.block_until_ready(m["loss"])
-    ib = lb = 0
+    ib = lb = gb = 0
     dmd = np.max(np.asarray(m["demand"]), axis=0)
     if renderer in ("tiled", "pallas") and dmd[0] > 0:
         bucket = 131072
         fit = lambda v: (int(int(v) * 1.15) + bucket - 1) // bucket * bucket
         ib = fit(dmd[0])
         lb = fit(dmd[1]) if dmd[1] > 0 else 0
-        st2, m = step(stacked, ib, lb)
+        gb = fit(dmd[2]) if len(dmd) > 2 and dmd[2] > 0 else 0
+        st2, m = step(stacked, ib, lb, gb)
         jax.block_until_ready(m["loss"])
 
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
     t0 = time.perf_counter()
     st = st2
     for _ in range(n_iters):
-        st, m = step(st, ib, lb)
+        st, m = step(st, ib, lb, gb)
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
     mode = "sharded" if mesh is not None else "vmap"
@@ -409,6 +416,8 @@ def run_single(n_points, h, renderer, emit=True):
         args["isect_budget"] = fit(m["n_cands"])
         if int(m["n_isects"]) > 0:
             args["layout_budget"] = fit(m["n_isects"])
+        if int(m.get("n_grads", 0)) > 0:
+            args["grad_budget"] = fit(m["n_grads"])
         state, m = train_step(state, **args)
         jax.block_until_ready(m["loss"])
 

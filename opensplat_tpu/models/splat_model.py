@@ -33,6 +33,7 @@ class RenderOutputs(NamedTuple):
     depths: jax.Array  # (C,)
     n_isects: jax.Array  # () int32 layout-buffer demand (0 for dense)
     n_cands: jax.Array  # () int32 candidate-expansion demand (0 for dense)
+    n_grads: jax.Array  # () int32 compact gradient-stream demand (pallas)
 
 
 def render_forward(
@@ -51,6 +52,7 @@ def render_forward(
     renderer: str = "dense",
     isect_budget: int = 0,
     layout_budget: int = 0,
+    grad_budget: int = 0,
     fov_width: Optional[int] = None,
     fov_height: Optional[int] = None,
 ) -> RenderOutputs:
@@ -94,6 +96,7 @@ def render_forward(
 
     n_isects = jnp.zeros((), jnp.int32)
     n_cands = jnp.zeros((), jnp.int32)
+    n_grads = jnp.zeros((), jnp.int32)
     raster_args = (
         xys,
         proj.conics,
@@ -135,9 +138,9 @@ def render_forward(
         from ..ops.binning import count_isects
 
         _, n_cands = count_isects(proj, height, width, align=1)
-        rgb, final_t, n_isects = rasterize_pallas(
+        rgb, final_t, n_isects, n_grads = rasterize_pallas(
             *raster_args, max_isects=isect_budget, layout_isects=layout_budget,
-            return_isects=True,
+            grad_isects=grad_budget, return_isects=True,
         )
     else:
         raise ValueError(f"unknown renderer {renderer!r}")
@@ -152,4 +155,5 @@ def render_forward(
         depths=proj.depths,
         n_isects=n_isects,
         n_cands=n_cands,
+        n_grads=n_grads,
     )

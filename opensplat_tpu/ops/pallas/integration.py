@@ -11,8 +11,13 @@ import jax.numpy as jnp
 from ..binning import bin_gaussians, num_tiles
 from ..projection import ProjectedGaussians
 from ..rasterize_tiled import _image_to_tiles, _tiles_to_image
-from .raster import (COLOR_SCALE, K, PIX, pallas_rasterize_backward,
-                     pallas_rasterize_forward, unpack_bf16_pair)
+from .raster import (COLOR_SCALE, K, PIX, compact_grad_layout,
+                     pallas_rasterize_backward, pallas_rasterize_forward,
+                     unpack_bf16_pair)
+
+_GID_BIAS = float(2 ** 23)  # gid rides as the f32 VALUE 2^23 + gid:
+# exact for ids < 2^23 and never a denormal bit pattern (raw small ints
+# bitcast to f32 are denormals, which XLA flushes in data movement)
 
 
 def _pack_planes(xys, conics, colors, opac, gauss_ids, c):
@@ -24,6 +29,9 @@ def _pack_planes(xys, conics, colors, opac, gauss_ids, c):
     fields fit one 8-wide table by packing rgb as 3x10-bit fixed point
     (range [0, 4], step 1/256 — a ~57 dB ceiling, far above scene PSNR)
     bitcast into a single f32 plane; the kernel unpacks with shifts.
+    Row 7 carries 2^23 + gid so the backward's compacted gradient stream
+    is self-describing (sentinel ids clamp to c-1; they only ever pair
+    with zero gradients).
     """
     g = jnp.minimum(gauss_ids, c - 1)
     q = jnp.clip(jnp.round(colors * COLOR_SCALE), 0.0, 1023.0).astype(jnp.int32)
@@ -31,9 +39,10 @@ def _pack_planes(xys, conics, colors, opac, gauss_ids, c):
     packed_f = jax.lax.bitcast_convert_type(packed_bits, jnp.float32)
     table8 = jnp.concatenate(
         [xys, conics, opac[:, None], packed_f[:, None],
-         jnp.zeros((c, 1), jnp.float32)],
+         (jnp.arange(c, dtype=jnp.int32)[:, None] + _GID_BIAS
+          ).astype(jnp.float32)],
         axis=1,
-    )  # (C, 8): x, y, A, B, C, opac, rgb_packed, 0
+    )  # (C, 8): x, y, A, B, C, opac, rgb_packed, 2^23+gid
     return table8[g].T  # (8, I)
 
 
@@ -67,13 +76,13 @@ def _interpret() -> bool:
     return _jax.default_backend() != "tpu"
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _rasterize_pallas_binned(xys, conics, colors, opac, background,
-                             gauss_ids, bins, isect_counts, height, width):
-    (img, final_t), _ = _pallas_fwd_impl(
+                             gauss_ids, bins, height, width, grad_isects):
+    (img, final_t, n_grads), _ = _pallas_fwd_impl(
         xys, conics, colors, opac, background, gauss_ids, bins, height, width
     )
-    return img, final_t
+    return img, final_t, n_grads
 
 
 def _pallas_fwd_impl(xys, conics, colors, opac, background, gauss_ids, bins,
@@ -97,24 +106,25 @@ def _pallas_fwd_impl(xys, conics, colors, opac, background, gauss_ids, bins,
     out_t = rgb_t + T_t[..., None] * background[None, None, :]
     img = _tiles_to_image(out_t, tb_x, tb_y, height, width)
     final_t = _tiles_to_image(T_t, tb_x, tb_y, height, width)
-    return (img, final_t), (recs, fidx, T_t)
+    # compact gradient layout: per-tile bases + total (the grad-budget
+    # demand the Trainer adapts to — reported even on forward-only runs)
+    comp_start, n_grads = compact_grad_layout(tile_start, tile_end, fidx)
+    return (img, final_t, n_grads), (recs, fidx, comp_start, T_t)
 
 
 def _rasterize_pallas_fwd(xys, conics, colors, opac, background,
-                          gauss_ids, bins, isect_counts, height, width):
-    (img, final_t), (recs, fidx, T_t) = _pallas_fwd_impl(
+                          gauss_ids, bins, height, width, grad_isects):
+    (img, final_t, n_grads), (recs, fidx, comp_start, T_t) = _pallas_fwd_impl(
         xys, conics, colors, opac, background, gauss_ids, bins, height, width
     )
-    res = (xys, conics, colors, opac, background, gauss_ids, bins,
-           isect_counts, recs, fidx, T_t)
-    return (img, final_t), res
+    res = (opac, background, bins, recs, fidx, comp_start, T_t)
+    return (img, final_t, n_grads), res
 
 
-def _rasterize_pallas_bwd(height, width, res, cotangents):
-    (xys, conics, colors, opac, background, gauss_ids, bins,
-     isect_counts, recs, fidx, T_t) = res
+def _rasterize_pallas_bwd(height, width, grad_isects, res, cotangents):
+    (opac, background, bins, recs, fidx, comp_start, T_t) = res
     tile_start, tile_end = bins
-    v_img, v_ft = cotangents
+    v_img, v_ft, _ = cotangents  # n_grads cotangent is unused (int out)
     tb_x, tb_y = num_tiles(height, width)
 
     v_out_t = _image_to_tiles(v_img.astype(jnp.float32), tb_x, tb_y, height, width)
@@ -131,15 +141,22 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
         axis=1,
     )
     grecs = pallas_rasterize_backward(
-        recs, tile_start, tile_end, cot, fidx, tb_x, tb_y, interpret=_interpret()
+        recs, tile_start, tile_end, comp_start, cot, fidx, tb_x, tb_y,
+        grad_n=grad_isects, interpret=_interpret(),
     )
+    # gid per compacted row, from the self-describing gid value plane
+    # (2^23 + gid; all-zero unwritten tail rows decode to a negative id
+    # that every reduction below excludes)
+    gid_rows = grecs[5].astype(jnp.int32) - jnp.int32(2 ** 23)
 
-    # Per-Gaussian gradient reduction: gid payload sort + cumsum +
-    # shifted-boundary segment sum by default (duplicate-index
-    # scatter-adds serialize on v5e at every measured size); the fused
-    # (I, 9) scatter-add remains selectable via SEGSUM_SORT_THRESHOLD.
-    c = xys.shape[0]
-    i = gauss_ids.shape[0]
+    # Per-Gaussian gradient reduction: gid payload sort + one-hot-matmul
+    # segment sum by default (duplicate-index scatter-adds serialize on
+    # v5e at every measured size); the fused (I, 9) scatter-add remains
+    # selectable via SEGSUM_SORT_THRESHOLD. The stream is the COMPACT
+    # gradient layout (~0.5x the layout budget on converging scenes), so
+    # the sort runs on the early-termination prefix only.
+    c = opac.shape[0]
+    i = grad_isects
 
     def unpack5(p0, p1, p2, p3, p4):
         """5 packed gradient planes -> 9 f32 columns (see raster.py)."""
@@ -151,49 +168,52 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
 
     if i < SEGSUM_SORT_THRESHOLD:
         planes9 = jnp.stack(unpack5(*(grecs[k] for k in range(5))), axis=1)
-        acc = jnp.zeros((c, 9), jnp.float32).at[gauss_ids].add(
+        acc = jnp.zeros((c, 9), jnp.float32).at[gid_rows].add(
             planes9, mode="drop"
         )
     else:
         # Segment reduction with NO scatter and NO big searchsorted (on
         # v5e a duplicate-index scatter costs ~64ms PER COLUMN at 8.5M
         # rows, and an I-sized searchsorted is log(I) such gathers).
-        # After sorting by gid, gaussian g's run occupies
-        # [cum[g]-cnt[g], cum[g]) where cnt comes from the forward
-        # binning (isect_counts). So: gid payload sort, column cumsum,
-        # one C-row boundary gather per table (starts = shifted ends).
-        # Caveat: exact only when the stream did not overflow the budget
-        # (overflow already degrades the forward identically and the
-        # budget feedback regrows next step).
-        # carry the 5 packed gradient planes THROUGH the sort as
+        # Carry the 5 packed gradient planes THROUGH the sort as
         # payload: the bitonic sort is bandwidth-bound per operand and
         # costs far less than the latency-bound (I, 8) row gather a
         # sort-indices-then-gather scheme needs (measured v5e 1M@1080:
-        # +20% whole-step); bf16-pair packing keeps it to 6 operands
+        # +20% whole-step); bf16-pair packing keeps it to 6 operands.
+        # Caveat: exact only when the stream did not overflow the budget
+        # (overflow already degrades the forward identically and the
+        # budget feedback regrows next step).
         out = jax.lax.sort(
-            (gauss_ids,) + tuple(grecs[k] for k in range(5)),
+            (gid_rows,) + tuple(grecs[k] for k in range(5)),
             num_keys=1, is_stable=False,
         )
-        cnt = isect_counts.astype(jnp.int32)
-        ends_g = jnp.minimum(jnp.cumsum(cnt), i)
         if SEGSUM_PALLAS:
             # one streaming pass: gaussian-block grid + one-hot matmul
             # (direct per-segment f32 sums — no multi-pass cumsum, no
-            # boundary gathers, no cumsum-difference cancellation)
+            # boundary gathers, no cumsum-difference cancellation); the
+            # compact stream's per-block windows come from one
+            # block-count-sized searchsorted inside
             from .segsum import pallas_segment_sum
 
             acc = pallas_segment_sum(
-                out[0], tuple(out[1:]), ends_g, interpret=_interpret()
+                out[0], tuple(out[1:]), ends=None, n_gaussians=c,
+                interpret=_interpret(),
             )
         else:
+            # XLA fallback (test/debug path): per-Gaussian run ends via a
+            # C-query searchsorted over the sorted ids (the compact
+            # stream's per-Gaussian counts are not known a priori), then
+            # the cumsum-difference scheme
+            ends_g = jnp.searchsorted(
+                out[0], jnp.arange(c, dtype=jnp.int32), side="right"
+            ).astype(jnp.int32)
             cols9 = unpack5(*out[1:])
             cs8 = jnp.cumsum(jnp.stack(cols9[0:8], axis=1), axis=0)
             # (I, 8): vx, vy, vA, vB, vC, vopac, vr, vg
             cs1 = jnp.cumsum(cols9[8])  # v_b
-            # segments are CONSECUTIVE in gid-sorted order (gaussian g's
-            # run starts where g-1's ends), so the segment-start prefix
-            # values are the end values shifted by one row — one C-scale
-            # gather per table instead of two
+            # gaussian g's run starts where g-1's ends; the stream's
+            # leading negative-id rows (sorted zero-fill) carry all-zero
+            # gradients, so gaussian 0's prefix needs no correction
             end8 = jnp.where(ends_g[:, None] > 0,
                              cs8[jnp.maximum(ends_g - 1, 0)], 0.0)
             end1 = jnp.where(ends_g > 0, cs1[jnp.maximum(ends_g - 1, 0)], 0.0)
@@ -209,7 +229,7 @@ def _rasterize_pallas_bwd(height, width, res, cotangents):
 
     T_final_img = _tiles_to_image(T_t, tb_x, tb_y, height, width)
     v_bg = jnp.einsum("hw,hwc->c", T_final_img, v_img.astype(jnp.float32))
-    return v_xys, v_conics, v_colors, v_opac, v_bg, None, None, None
+    return v_xys, v_conics, v_colors, v_opac, v_bg, None, None
 
 
 _rasterize_pallas_binned.defvjp(_rasterize_pallas_fwd, _rasterize_pallas_bwd)
@@ -230,19 +250,24 @@ def rasterize_pallas(
     width: int,
     max_isects: int = 0,
     layout_isects: int = 0,
+    grad_isects: int = 0,
     return_isects: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Pallas TPU rasterization; rasterize_tiled() contract. With
-    return_isects a third output is appended: the kept isect total
-    (layout-budget feedback).
+    return_isects two outputs are appended: the kept isect total
+    (layout-budget feedback) and the compact gradient-stream total
+    (grad-budget feedback).
 
-    Two static budgets: `max_isects` sizes the candidate expansion/sort
+    Three static budgets: `max_isects` sizes the candidate expansion/sort
     stream (tile-bbox pairs, fed back from count_isects), `layout_isects`
     sizes the sorted-stream prefix every downstream per-isect stage runs
-    at (fed back from the third return; the culled tail sorts past every
-    tile range). The exact tile-ellipse cull in binning typically drops
-    30-50% of bbox pairs with bit-identical output (see
-    bin_gaussians)."""
+    at (fed back from the n_isects return; the culled tail sorts past
+    every tile range), and `grad_isects` sizes the backward's COMPACT
+    gradient stream (per-tile early-termination prefixes, fed back from
+    the n_grads return; 0 defaults to layout_isects + a per-tile padding
+    allowance, which cannot overflow). The exact tile-ellipse cull in
+    binning typically drops 30-50% of bbox pairs with bit-identical
+    output (see bin_gaussians)."""
     from ..rasterize import ALPHA_THRESH
 
     opacities = opacities.reshape(-1)
@@ -256,6 +281,11 @@ def rasterize_pallas(
         layout_isects = max_isects
     layout_isects = ((layout_isects + K - 1) // K) * K
     layout_isects = max(min(layout_isects, max_isects), K)
+    if grad_isects <= 0:
+        # safe default: every tile's chunk count is at most
+        # cdiv(count, K) + 1, so layout + 2K per tile can never overflow
+        grad_isects = layout_isects + 2 * K * tb_x * tb_y
+    grad_isects = max(((grad_isects + K - 1) // K) * K, K)
 
     proj_like = ProjectedGaussians(
         xys=jax.lax.stop_gradient(xys),
@@ -290,11 +320,10 @@ def rasterize_pallas(
     gauss_ids = binned.gauss_ids[:layout_isects]
     tile_start = jnp.minimum(binned.tile_start, layout_isects)
     tile_end = jnp.minimum(binned.tile_end, layout_isects)
-    img, final_t = _rasterize_pallas_binned(
+    img, final_t, n_grads = _rasterize_pallas_binned(
         xys, conics, colors, opacities, background.astype(jnp.float32),
-        gauss_ids, (tile_start, tile_end),
-        binned.isect_counts, height, width,
+        gauss_ids, (tile_start, tile_end), height, width, grad_isects,
     )
     if return_isects:
-        return img, final_t, binned.n_isects
+        return img, final_t, binned.n_isects, n_grads
     return img, final_t

@@ -40,14 +40,18 @@ half the DMA of a 16-plane layout): 0 x, 1 y, 2 conic A, 3 conic B,
 range [0, 4], bitcast into the f32 plane; top two bits zero so the
 pattern is never NaN/Inf), 7 zero. Color quantization step is 1/256 —
 a ~57 dB PSNR ceiling, far above scene-reconstruction PSNR.
-Gradient planes (8 rows, 5 meaningful; bf16 pairs bitcast into f32
+Gradient planes (8 rows, 6 meaningful; bf16 pairs bitcast into f32
 planes — finite grads never form NaN/Inf patterns): 0 (v_x | v_y),
 1 (v_A | v_B), 2 (v_C | v_opacity), 3 (v_r | v_g), 4 v_b full f32,
-5..7 zero (HBM slices must stay 8-sublane-aligned). bf16 keeps the full
-f32 exponent range and costs ~0.4% relative precision per contribution
-(half-ulp round-to-nearest), far below training noise and the densify
-threshold's (2e-4, model.cpp:349) discrimination needs. Packing cuts
-the gid payload sort to 6 operands from 10.
+5 the gid VALUE plane (f32 2^23 + gid, copied from input row 7 so the
+compacted stream stays self-describing), 6..7 zero (HBM slices must
+stay 8-sublane-aligned). bf16 keeps the full f32 exponent range and
+costs ~0.4% relative precision per contribution (half-ulp
+round-to-nearest), far below training noise and the densify threshold's
+(2e-4, model.cpp:349) discrimination needs. Packing cuts the gid
+payload sort to 6 operands from 10, and the backward writes records
+COMPACTED to per-tile processed prefixes (compact_grad_layout), so the
+sort runs on ~half the layout stream.
 """
 from __future__ import annotations
 
@@ -75,12 +79,12 @@ if K % 128 != 0 or K <= 0:
         f"OPENSPLAT_TPU_RASTER_K must be a positive multiple of 128, got {K}"
     )
 PIX = BLOCK_X * BLOCK_Y  # 256 pixels per tile (sublane dim)
-REC_IN = 8  # input record planes (packed colors)
-# gradient record planes: 5 meaningful (4 bf16 pairs + v_b) + 3 zero
-# rows — HBM slices must stay 8-sublane-aligned (Mosaic tiling), but the
-# downstream payload sort reads only the first 5 planes
+REC_IN = 8  # input record planes (packed colors; row 7 = 2^23 + gid)
+# gradient record planes: 6 meaningful (4 bf16 pairs + v_b + the gid
+# value plane) + 2 zero rows — HBM slices must stay 8-sublane-aligned
+# (Mosaic tiling); the downstream payload sort reads planes 0..5
 REC = 8
-REC_USED = 5
+REC_USED = 6
 COLOR_SCALE = 1023.0 / 4.0  # 10-bit fixed point over [0, 4]
 
 
@@ -102,6 +106,27 @@ def unpack_bf16_pair(packed: jax.Array):
     return hi, lo
 _BIG = 2**30  # python int: jnp scalars would be captured consts in kernels
 _LOG_T_EPS = float(__import__("math").log(T_EPS))
+
+# prefix/suffix compositing matmuls: OPENSPLAT_TPU_MXU=hilo splits the
+# f32 operand into bf16 hi + bf16 residual and runs TWO default-precision
+# MXU passes (~2^-17 relative per element) instead of one full-f32
+# matmul. MEASURED SLOWER on v5e (131k@512: 48.7 vs 51.4 steps/s e2e) —
+# Mosaic's f32 dot is evidently not the 6-pass decomposition the trick
+# assumes, and the extra VPU casts dominate. Default stays f32; the knob
+# remains for A/B on other chips/Mosaic versions.
+_MXU_HILO = os.environ.get("OPENSPLAT_TPU_MXU", "f32") == "hilo"
+
+
+def _dot_tri(a, m):
+    """a @ m for the 0/1 triangular cumulative matrices (see above)."""
+    if not _MXU_HILO:
+        return jnp.dot(a, m, preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mb = m.astype(jnp.bfloat16)
+    return jnp.dot(
+        a_hi, mb, preferred_element_type=jnp.float32
+    ) + jnp.dot(a_lo, mb, preferred_element_type=jnp.float32)
 
 
 def _cum_matrices():
@@ -196,7 +221,7 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
         used = row_valid & (sigma >= 0.0) & (alpha >= ALPHA_THRESH) & jnp.logical_not(done)
         a = jnp.where(used, alpha, 0.0)
         la = jnp.log1p(-a)
-        excl = jnp.dot(la, M_excl, preferred_element_type=jnp.float32)
+        excl = _dot_tri(la, M_excl)
         # stop test in log space (saves the exp the Tb formulation
         # needed): T_carry*exp(excl)*(1-a) <= T_EPS  <=>
         # log(T_carry) + excl + la <= log(T_EPS)
@@ -215,9 +240,7 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
             comp = used & (gk < fidx)
             a_eff = jnp.where(comp, a, 0.0)
             la_eff = jnp.log1p(-a_eff)
-            excl_eff = jnp.dot(
-                la_eff, M_excl, preferred_element_type=jnp.float32
-            )
+            excl_eff = _dot_tri(la_eff, M_excl)
             return a_eff, la_eff, excl_eff
 
         a_eff, la_eff, excl_eff = jax.lax.cond(
@@ -285,9 +308,30 @@ def pallas_rasterize_forward(recs, tile_start, tile_end, tb_x: int, tb_y: int,
     return acc, fidx
 
 
+def compact_grad_layout(tile_start, tile_end, fidx):
+    """Per-tile compact bases for the backward's gradient records.
+
+    Returns (comp_start (T,) int32, comp_total () int32). Mirrors
+    _bwd_kernel's early-exit replay limit EXACTLY (chunks past the last
+    contributing record are never written, backward.cu:196-253 analogue):
+    tile t emits cdiv(glim - floor_K(start), K) K-wide chunks, where glim
+    is capped by the max per-pixel final_idx. comp_total is the adaptive
+    grad-budget demand (typically ~0.5x the layout stream at training
+    opacities, measured on v5e at 1M@1080)."""
+    count = tile_end - tile_start
+    f = fidx.reshape(fidx.shape[0], -1).astype(jnp.int32)  # (T, PIX)
+    eff = jnp.where(f >= _BIG, count[:, None], f - tile_start[:, None])
+    glim = tile_start + jnp.minimum(jnp.max(eff, axis=1), count)
+    base0 = tile_start - jax.lax.rem(tile_start, K)
+    nch = jnp.where(glim > base0, (glim - base0 + K - 1) // K, 0)
+    sizes = (nch * K).astype(jnp.int32)
+    ccum = jnp.cumsum(sizes)
+    return (ccum - sizes).astype(jnp.int32), ccum[-1]
+
+
 def _bwd_kernel(
-    start_ref, end_ref, recs_hbm, cot_ref, fidx_ref, zeros_hbm, grads_hbm,
-    buf, gbuf, state, rbuf, sem, gsem, rsem, *, tb_x,
+    start_ref, end_ref, comp_ref, recs_hbm, cot_ref, fidx_ref, zeros_hbm,
+    grads_hbm, buf, gbuf, state, sem, gsem, *, tb_x, grad_n,
 ):
     del zeros_hbm  # aliased with grads_hbm; only the alias matters
     # state (PIX, 8): col 0 = T_run, col 1 = buf_dot (running
@@ -297,6 +341,15 @@ def _bwd_kernel(
     end = end_ref[t]
     count = end - start
     base0 = pl.multiple_of(start - jax.lax.rem(start, K), K)
+    # gradient records write COMPACTED: tile t's chunk i lands at
+    # comp_start[t] + i*K in the (REC, grad_n + K) output — per-tile
+    # regions are disjoint (no boundary RMW) and sized by the forward's
+    # early-termination replay limit, so the downstream payload sort runs
+    # on the processed prefix only (~0.5x the layout stream, measured).
+    # Chunks past the static budget redirect to the trash chunk at
+    # grad_n with ZERO gradients (never silent: the caller reports the
+    # true compact demand for regrow feedback).
+    comp0 = comp_ref[t]
     px, py = _pixel_coords(t, tb_x)
     _, M_sfx_incl, M_sfx_excl = _cum_matrices()
 
@@ -337,11 +390,11 @@ def _bwd_kernel(
 
     def _out_dma(j, slot):
         i = n_chunks - 1 - j
-        base = pl.multiple_of(
-            jnp.clip(base0 + i * K, 0, n_recs - K), K
+        tgt = pl.multiple_of(
+            jnp.minimum(comp0 + i * K, jnp.int32(grad_n)), K
         )
         return pltpu.make_async_copy(
-            gbuf.at[slot], grads_hbm.at[:, pl.ds(base, K)], gsem.at[slot]
+            gbuf.at[slot], grads_hbm.at[:, pl.ds(tgt, K)], gsem.at[slot]
         )
 
     _in_dma(jnp.int32(0), jnp.int32(0)).start()
@@ -375,7 +428,7 @@ def _bwd_kernel(
         alpha_b = jnp.where(comp, jnp.minimum(BWD_ALPHA_CLAMP, op * vis_u), 0.0)
         lra = -jnp.log1p(-alpha_b)
         ra = 1.0 / (1.0 - alpha_b)  # == exp(lra), one reciprocal cheaper
-        sfx = jnp.dot(lra, M_sfx_incl, preferred_element_type=jnp.float32)
+        sfx = _dot_tri(lra, M_sfx_incl)
         T_k = T_run * jnp.exp(sfx)  # (PIX, K)
         fac = alpha_b * T_k
 
@@ -388,9 +441,7 @@ def _bwd_kernel(
         # 3-channel buffer collapses to one scalar per pixel
         w = col_r * v_r + col_g * v_g + col_b * v_b  # (PIX, K)
         facw = fac * w
-        bkd = buf_dot + jnp.dot(
-            facw, M_sfx_excl, preferred_element_type=jnp.float32
-        )
+        bkd = buf_dot + _dot_tri(facw, M_sfx_excl)
 
         v_alpha = T_k * w - ra * (bkd + vob)
         v_alpha = jnp.where(comp, v_alpha, 0.0)
@@ -435,6 +486,17 @@ def _bwd_kernel(
         g_x, g_y, g_A, g_B, g_C, g_op, g_r, g_g, g_b = (
             sums[:, k * K:(k + 1) * K] for k in range(9)
         )
+        # chunks whose compact target falls past the budget redirect to
+        # the trash chunk with zeroed gradients (real gids + zero grads
+        # contribute nothing to the segment sums). Masking happens on the
+        # UNPACKED f32 values — arithmetic on packed bf16-pair planes
+        # could flush denormal bit patterns.
+        keep_f = jnp.where(
+            comp0 + i * K >= jnp.int32(grad_n), 0.0, 1.0
+        )
+        g_x, g_y, g_A, g_B, g_C, g_op, g_r, g_g, g_b = (
+            v * keep_f for v in (g_x, g_y, g_A, g_B, g_C, g_op, g_r, g_g, g_b)
+        )
         grec = jnp.concatenate(
             [
                 pack_bf16_pair(g_x, g_y),
@@ -442,6 +504,12 @@ def _bwd_kernel(
                 pack_bf16_pair(g_C, g_op),
                 pack_bf16_pair(g_r, g_g),
                 g_b,
+                # gid plane: f32 VALUE 2^23 + gid from the record table
+                # (raster.py row 7) — the payload sort keys on it and the
+                # segment sum recovers gid by subtraction; the +2^23 bias
+                # keeps the plane normal (raw gid bit patterns are f32
+                # denormals, which XLA flushes in data movement)
+                buf[slot][7:8, :],
                 jnp.zeros((REC - REC_USED, K), jnp.float32),
             ],
             axis=0,
@@ -452,22 +520,7 @@ def _bwd_kernel(
         def _():
             _out_dma(j - 2, slot).wait()
 
-        # the boundary chunk (i == 0) may be shared with the PREVIOUS
-        # tile's tail: read-modify-write so its already-written gradient
-        # lanes survive (sequential grid + end-of-step drains make this
-        # race-free; this tile's lanes there hold zeros in `prev`)
-        @pl.when(i == 0)
-        def _():
-            rmw = pltpu.make_async_copy(
-                grads_hbm.at[:, pl.ds(pl.multiple_of(
-                    jnp.clip(base0, 0, n_recs - K), K), K)],
-                rbuf, rsem,
-            )
-            rmw.start()
-            rmw.wait()
-
-        prev = jnp.where(i == 0, rbuf[:, :], 0.0)
-        gbuf[slot] = grec + prev
+        gbuf[slot] = grec
         _out_dma(j, slot).start()
 
         state[:, 0:1] = T_run * jnp.exp(jnp.sum(lra, axis=1, keepdims=True))
@@ -490,18 +543,24 @@ def _bwd_kernel(
         _out_dma(j_end - 2, jax.lax.rem(j_end - 2, 2)).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("tb_x", "tb_y", "interpret"))
-def pallas_rasterize_backward(recs, tile_start, tile_end, cot, fidx,
-                              tb_x: int, tb_y: int, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("tb_x", "tb_y", "grad_n", "interpret")
+)
+def pallas_rasterize_backward(recs, tile_start, tile_end, comp_start, cot,
+                              fidx, tb_x: int, tb_y: int, grad_n: int,
+                              interpret: bool = False):
     """cot: (T, 8, 256) rows [v_r, v_g, v_b, v_final_t, T_final, bg_dot, 0, 0].
-    Returns per-isect gradient planes (REC, I). Alignment-padding rows get
-    zeros from their owning tile's masked compute; rows past the last
-    tile's range are untouched memory and must be masked by the gid
-    sentinel in the scatter."""
+    comp_start: (T,) int32 K-aligned compact bases (tile t's chunk i
+    writes at comp_start[t] + i*K; disjoint per-tile regions sized by the
+    early-termination replay limit — see compact_grad_layout).
+    Returns COMPACTED gradient planes (REC, grad_n): rows 0-4 packed
+    gradients, row 5 the gid value plane (2^23 + gid), unwritten tail
+    rows all-zero (gid value 0 -> recovered id is negative, excluded by
+    every reduction). A trailing trash chunk absorbs over-budget
+    redirects and is sliced off."""
     n_tiles = tb_x * tb_y
-    n_recs = recs.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -514,21 +573,19 @@ def pallas_rasterize_backward(recs, tile_start, tile_end, cot, fidx,
             pltpu.VMEM((2, REC_IN, K), jnp.float32),
             pltpu.VMEM((2, REC, K), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.VMEM((REC, K), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
         ],
     )
-    zeros_out = jnp.zeros((REC, n_recs), jnp.float32)
+    zeros_out = jnp.zeros((REC, grad_n + K), jnp.float32)
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, tb_x=tb_x),
+        functools.partial(_bwd_kernel, tb_x=tb_x, grad_n=grad_n),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((REC, n_recs), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((REC, grad_n + K), jnp.float32)],
         # the zeros input aliases the output: chunks skipped by the
         # early-exit replay keep zero gradients
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_start, tile_end, recs, cot, fidx, zeros_out)
-    return grads[0]
+    )(tile_start, tile_end, comp_start, recs, cot, fidx, zeros_out)
+    return grads[0][:, :grad_n]

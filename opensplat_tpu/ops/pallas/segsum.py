@@ -130,32 +130,52 @@ def _segsum_kernel(win_ref, planes_hbm, out_ref,
     jax.lax.fori_loop(0, n_sub, body, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_segment_sum(gid_sorted, planes_sorted, ends, interpret=False):
+@functools.partial(jax.jit, static_argnames=("n_gaussians", "interpret"))
+def pallas_segment_sum(gid_sorted, planes_sorted, ends=None,
+                       n_gaussians: int = 0, interpret=False):
     """Per-Gaussian sums of the gid-sorted gradient stream.
 
-    gid_sorted: (I,) int32 ascending (invalid tail = sentinel >= C)
+    gid_sorted: (I,) int32 ascending (invalid tail = sentinel >= C;
+    leading rows with NEGATIVE ids — the compacted stream's zero-filled
+    tail after sorting — are excluded by block 0's window)
     planes_sorted: tuple of 5 (I,) f32 packed gradient planes, same order
     (a tuple, NOT a stacked array: stacking f32 planes at the XLA level
     would flush denormal bit patterns — see module docstring)
-    ends: (C,) int32 — cumsum of per-Gaussian counts clamped to I
+    ends: (C,) int32 cumsum of per-Gaussian counts clamped to I, or None
+    when per-Gaussian counts are unknown (the compacted backward stream):
+    then pass n_gaussians=C and the per-BLOCK windows come from one small
+    searchsorted over gid_sorted (n_blocks queries — the cheap T-query
+    pattern, not a per-row search).
     Returns (C, 9) f32: vx, vy, vA, vB, vC, vop, vr, vg, vb per Gaussian.
     """
+    assert ends is not None or n_gaussians > 0, "need ends or n_gaussians"
     n_rows = gid_sorted.shape[0]
-    c = ends.shape[0]
+    c = n_gaussians if ends is None else ends.shape[0]
     r_chunk = min(R_CHUNK, n_rows)
     g_blk = G_BLOCK
     c_pad = ((c + g_blk - 1) // g_blk) * g_blk
-    ends_pad = jnp.concatenate(
-        [ends.astype(jnp.int32),
-         jnp.broadcast_to(ends[-1].astype(jnp.int32), (c_pad - c,))]
-    )
     # per-block [w_start, w_end) windows: the only scalars the kernel
     # needs (SMEM-sized; a (C,) prefetch overflows SMEM at 1M capacity)
-    wends = ends_pad.reshape(c_pad // g_blk, g_blk)[:, g_blk - 1]
-    win = jnp.stack(
-        [jnp.concatenate([jnp.zeros((1,), jnp.int32), wends[:-1]]), wends]
-    )
+    if ends is None:
+        bounds = jnp.arange(1, c_pad // g_blk + 1, dtype=jnp.int32) * g_blk
+        wends = jnp.searchsorted(
+            gid_sorted, bounds, side="left"
+        ).astype(jnp.int32)
+        wstart0 = jnp.searchsorted(
+            gid_sorted, jnp.zeros((1,), jnp.int32), side="left"
+        ).astype(jnp.int32)
+        win = jnp.stack(
+            [jnp.concatenate([wstart0, wends[:-1]]), wends]
+        )
+    else:
+        ends_pad = jnp.concatenate(
+            [ends.astype(jnp.int32),
+             jnp.broadcast_to(ends[-1].astype(jnp.int32), (c_pad - c,))]
+        )
+        wends = ends_pad.reshape(c_pad // g_blk, g_blk)[:, g_blk - 1]
+        win = jnp.stack(
+            [jnp.concatenate([jnp.zeros((1,), jnp.int32), wends[:-1]]), wends]
+        )
     # int32 stack: f32 concat/copies FLUSH DENORMAL BIT PATTERNS on TPU
     # (see module docstring) — bitcast each plane to int32 FIRST
     planes8 = jnp.stack(

@@ -97,7 +97,8 @@ def _fold_stats_dp(
     jax.jit,
     static_argnames=(
         "mesh", "height", "width", "sh_deg", "cfg", "accumulate",
-        "renderer", "isect_budget", "layout_budget", "d_local",
+        "renderer", "isect_budget", "layout_budget", "grad_budget",
+        "d_local",
     ),
 )
 def dp_train_step(
@@ -109,7 +110,7 @@ def dp_train_step(
     cy: jax.Array,
     gt_images: jax.Array,  # (D, H, W, 3)
     means_lr,
-    pending_demand: jax.Array,  # (2,) int32
+    pending_demand: jax.Array,  # (3,) int32
     mesh: Mesh,
     height: int,
     width: int,
@@ -119,6 +120,7 @@ def dp_train_step(
     renderer: str,
     isect_budget: int = 0,
     layout_budget: int = 0,
+    grad_budget: int = 0,
     d_local: int = 1,
 ):
     """One camera-DP step over `mesh`'s data axis (see module docstring)."""
@@ -134,10 +136,12 @@ def dp_train_step(
                 height, width, sh_deg, background,
                 xys_shift=xys_shift, renderer=renderer,
                 isect_budget=isect_budget, layout_budget=layout_budget,
+                grad_budget=grad_budget,
             )
             return (
                 main_loss(out.rgb, gt1, cfg.ssim_weight),
-                (out.radii, psnr(out.rgb, gt1), out.n_cands, out.n_isects),
+                (out.radii, psnr(out.rgb, gt1), out.n_cands, out.n_isects,
+                 out.n_grads),
             )
 
         def local_loss(params, shifts):
@@ -149,7 +153,7 @@ def dp_train_step(
             return losses.sum() / d_total, aux
 
         shifts0 = jnp.zeros((d_local, capacity, 2), jnp.float32)
-        (loss_part, (radii_l, psnr_l, cands_l, isects_l)), (
+        (loss_part, (radii_l, psnr_l, cands_l, isects_l, grads_l)), (
             g_params, g_shifts
         ) = jax.value_and_grad(local_loss, argnums=(0, 1), has_aux=True)(
             state.params, shifts0
@@ -182,7 +186,8 @@ def dp_train_step(
         new_state = state.replace(params=new_params, opt=new_opt, stats=stats)
         demand_local = jnp.stack(
             [jnp.max(cands_l).astype(jnp.int32),
-             jnp.max(isects_l).astype(jnp.int32)]
+             jnp.max(isects_l).astype(jnp.int32),
+             jnp.max(grads_l).astype(jnp.int32)]
         )
         demand = jnp.maximum(
             jax.lax.pmax(demand_local, "data"), pending
@@ -245,7 +250,7 @@ class DPTrainer(Trainer):
         self._multihost = jax.process_count() > 1
         # replicate the state across the mesh once up front
         self.state = self._put_rep(self.state)
-        self._pending_demand = self._put_rep(jnp.zeros((2,), jnp.int32))
+        self._pending_demand = self._put_rep(jnp.zeros((3,), jnp.int32))
 
     def _put_rep(self, tree):
         """Replicate a pytree over the mesh (multi-host-safe)."""
@@ -278,7 +283,7 @@ class DPTrainer(Trainer):
         factor = get_downscale_factor(step, cfg)
         (h, w), batch = self._sample_batch(factor)
         if (h, w) != self.last_hw:
-            self._pending_demand = self._put_rep(jnp.zeros((2,), jnp.int32))
+            self._pending_demand = self._put_rep(jnp.zeros((3,), jnp.int32))
         self.last_hw = (h, w)
         sh_deg = sh_degrees_for_step(step, cfg)
         means_lr = means_lr_schedule(
@@ -319,8 +324,8 @@ class DPTrainer(Trainer):
         self._pending_demand = metrics["demand"]
         if step <= 3 or step % 10 == 0 or step % cfg.refine_every == 0:
             d = np.asarray(metrics["demand"])
-            self._check_overflow(h, w, int(d[0]), int(d[1]))
-            self._pending_demand = self._put_rep(jnp.zeros((2,), jnp.int32))
+            self._check_overflow(h, w, int(d[0]), int(d[1]), int(d[2]))
+            self._pending_demand = self._put_rep(jnp.zeros((3,), jnp.int32))
 
         if step % cfg.refine_every == 0 and step > cfg.warmup_length:
             self._refine(step)

@@ -92,10 +92,11 @@ def _gs_render_core(
     cam_to_world, fx, fy, cx, cy,
     height: int, width: int, sh_deg: int, background,
     v_budget: int, renderer: str,
-    isect_budget: int, layout_budget: int, n_model: int,
+    isect_budget: int, layout_budget: int, grad_budget: int, n_model: int,
 ):
     """shard_map body: compact-gather-render one band. Returns
-    (band_rgb, radii_shard, n_visible_shard, demand (2,) int32)."""
+    (band_rgb, radii_shard, n_visible_shard, demand (3,) int32
+    [n_cands, n_isects, n_grads])."""
     m = jax.lax.axis_index("model")
     band_h = band_height(height, n_model)
 
@@ -142,6 +143,7 @@ def _gs_render_core(
         band_h, width, sh_deg, background,
         xys_shift=g_shift, renderer=renderer,
         isect_budget=isect_budget, layout_budget=layout_budget,
+        grad_budget=grad_budget,
         fov_height=height,
     )
     # densify-stat radii come from the FULL-FRAME visibility projection
@@ -150,7 +152,8 @@ def _gs_render_core(
     # no band pmax / scatter-home collective is needed at all
     demand = jax.lax.pmax(
         jnp.stack(
-            [out.n_cands.astype(jnp.int32), out.n_isects.astype(jnp.int32)]
+            [out.n_cands.astype(jnp.int32), out.n_isects.astype(jnp.int32),
+             out.n_grads.astype(jnp.int32)]
         ),
         "model",
     )
@@ -174,7 +177,8 @@ def gs_render(
 ):
     """Inference render with the capacity axis sharded over 'model'.
     Returns (rgb (H, W, 3) row-sharded, max visible count per shard,
-    demand (2,) int32 = max [n_cands, n_isects] over the bands)."""
+    demand (3,) int32 = max [n_cands, n_isects, n_grads] over the
+    bands)."""
     n_model = mesh.shape["model"]
     background = jnp.asarray(DEFAULT_BACKGROUND, jnp.float32)
     capacity = state.alive.shape[0]
@@ -184,7 +188,7 @@ def gs_render(
             params, alive, jnp.zeros((capacity // n_model, 2), jnp.float32),
             c2w, fx_, fy_, cx_, cy_, height, width, sh_deg,
             background, v_budget, renderer, isect_budget, layout_budget,
-            n_model,
+            0, n_model,
         )
         return rgb, jax.lax.pmax(n_vis, "model"), demand
 
@@ -208,6 +212,7 @@ def gs_render(
     static_argnames=(
         "mesh", "height", "width", "sh_deg", "cfg", "accumulate",
         "v_budget", "renderer", "isect_budget", "layout_budget",
+        "grad_budget",
     ),
 )
 def gs_train_step(
@@ -223,6 +228,7 @@ def gs_train_step(
     renderer: str = "dense",
     isect_budget: int = 0,
     layout_budget: int = 0,
+    grad_budget: int = 0,
     pending_demand=None,
 ) -> Tuple[TrainState, dict]:
     """One training step on Gaussian-sharded state: forward all-gather of
@@ -230,7 +236,7 @@ def gs_train_step(
     gradients back to the owner shards (via the shard_map transpose),
     shard-local Adam + densify statistics.
 
-    metrics["demand"] is a (3,) int32 [n_cands, n_isects,
+    metrics["demand"] is a (4,) int32 [n_cands, n_isects, n_grads,
     max_shard_visible] running max (folded with `pending_demand`) — the
     host budget feedback for the isect budgets AND the visible-subset
     budget, so v_budget truncation between sync points is never silent
@@ -246,7 +252,7 @@ def gs_train_step(
             height=height, width=width, sh_deg=sh_deg,
             background=background, v_budget=v_budget, renderer=renderer,
             isect_budget=isect_budget, layout_budget=layout_budget,
-            n_model=n_model,
+            grad_budget=grad_budget, n_model=n_model,
         )
         return rgb, radii, jax.lax.pmax(n_vis, "model"), demand
 
@@ -295,9 +301,9 @@ def gs_train_step(
 
     new_state = state.replace(params=new_params, opt=new_opt, stats=stats)
     del shard_c
-    demand3 = jnp.concatenate([demand, n_vis.astype(jnp.int32)[None]])
+    demand4 = jnp.concatenate([demand, n_vis.astype(jnp.int32)[None]])
     if pending_demand is not None:
-        demand3 = jnp.maximum(demand3, pending_demand)
+        demand4 = jnp.maximum(demand4, pending_demand)
     metrics = {
         "loss": loss,
         "psnr": psnr(rgb, gt_image),
@@ -305,7 +311,7 @@ def gs_train_step(
         "n_alive": jnp.sum(new_state.alive),
         # V-budget feedback: the largest per-shard visible count
         "max_shard_visible": n_vis,
-        "demand": demand3,
+        "demand": demand4,
     }
     return new_state, metrics
 
@@ -358,6 +364,7 @@ def _fold_stats_dp_batched(
     static_argnames=(
         "mesh", "height", "width", "sh_deg", "cfg", "accumulate",
         "v_budget", "renderer", "isect_budget", "layout_budget",
+        "grad_budget",
     ),
 )
 def dpgs_train_step(
@@ -377,6 +384,7 @@ def dpgs_train_step(
     renderer: str = "dense",
     isect_budget: int = 0,
     layout_budget: int = 0,
+    grad_budget: int = 0,
     pending_demand=None,
 ) -> Tuple[TrainState, dict]:
     """Hybrid camera-DP x Gaussian-MP step on a 2D (data, model) mesh:
@@ -396,8 +404,9 @@ def dpgs_train_step(
         xys gradients.
 
     Requires d_total == mesh.shape['data'] (one camera per data slice).
-    metrics['demand'] = running-max (3,) int32 [n_cands, n_isects,
-    max_shard_visible] over the whole fleet (never-silent budgets)."""
+    metrics['demand'] = running-max (4,) int32 [n_cands, n_isects,
+    n_grads, max_shard_visible] over the whole fleet (never-silent
+    budgets)."""
     n_model = mesh.shape["model"]
     d_total = cam_to_world.shape[0]
     assert d_total == mesh.shape["data"], (d_total, mesh.shape)
@@ -412,7 +421,7 @@ def dpgs_train_step(
             cy_[0], height=height, width=width, sh_deg=sh_deg,
             background=background, v_budget=v_budget, renderer=renderer,
             isect_budget=isect_budget, layout_budget=layout_budget,
-            n_model=n_model,
+            grad_budget=grad_budget, n_model=n_model,
         )
         n_vis = jax.lax.pmax(jax.lax.pmax(n_vis, "model"), "data")
         demand = jax.lax.pmax(demand, "data")
@@ -466,16 +475,16 @@ def dpgs_train_step(
         )
 
     new_state = state.replace(params=new_params, opt=new_opt, stats=stats)
-    demand3 = jnp.concatenate([demand, n_vis.astype(jnp.int32)[None]])
+    demand4 = jnp.concatenate([demand, n_vis.astype(jnp.int32)[None]])
     if pending_demand is not None:
-        demand3 = jnp.maximum(demand3, pending_demand)
+        demand4 = jnp.maximum(demand4, pending_demand)
     metrics = {
         "loss": loss,
         "psnr": jnp.mean(jax.vmap(psnr)(rgb, gt_images)),
         "n_visible": jnp.sum(jnp.any(radii > 0, axis=0)),
         "n_alive": jnp.sum(new_state.alive),
         "max_shard_visible": n_vis,
-        "demand": demand3,
+        "demand": demand4,
     }
     return new_state, metrics
 
@@ -505,7 +514,7 @@ class GSTrainer(Trainer):
     Budget feedback follows Trainer's design with one more axis: besides
     the per-band isect budgets, the static per-shard visible budget V
     adapts from the max_shard_visible running max in metrics["demand"]
-    (a (3,) vector here) — truncation of the visible subset is logged
+    (a (4,) vector here) — truncation of the visible subset is logged
     with its drop count and the budget regrown, never silent.
     """
 
@@ -548,7 +557,7 @@ class GSTrainer(Trainer):
         self.v_overflow_events = 0
 
     def _zero_pending(self):
-        return jax.device_put(jnp.zeros((3,), jnp.int32), self._rep)
+        return jax.device_put(jnp.zeros((4,), jnp.int32), self._rep)
 
     def _shard_c(self) -> int:
         return self.state.alive.shape[0] // self.n_model
@@ -603,6 +612,7 @@ class GSTrainer(Trainer):
             renderer=self.renderer,
             isect_budget=self._budget_for(h, w)[0],
             layout_budget=self._budget_for(h, w)[1],
+            grad_budget=self._budget_for(h, w)[2],
             pending_demand=self._pending_demand,
         )
 
@@ -640,8 +650,8 @@ class GSTrainer(Trainer):
         self._pending_demand = metrics["demand"]
         if step <= 3 or step % 10 == 0 or step % cfg.refine_every == 0:
             d = np.asarray(metrics["demand"])
-            self._check_overflow(h, w, int(d[0]), int(d[1]))
-            self._check_v_overflow(int(d[2]))
+            self._check_overflow(h, w, int(d[0]), int(d[1]), int(d[2]))
+            self._check_v_overflow(int(d[3]))
             self._pending_demand = self._zero_pending()
 
         if step % cfg.refine_every == 0 and step > cfg.warmup_length:
@@ -655,7 +665,7 @@ class GSTrainer(Trainer):
                 # raise V proactively so the steps before the next sync
                 # point cannot truncate (d exists: a refine boundary is
                 # always a sync point above)
-                self._fit_v(min(self._shard_c(), int(d[2]) + added))
+                self._fit_v(min(self._shard_c(), int(d[3]) + added))
 
         return StepOutcome(metrics)
 
@@ -687,13 +697,13 @@ class GSTrainer(Trainer):
             self._check_v_overflow(nv)
             redo = True
         if self.renderer in ("tiled", "pallas"):
-            exp_b, lay_b = self._budget_for(h, w)
+            exp_b, lay_b = self._budget_for(h, w)[:2]
             eff_exp = exp_b or max(8 * self._v_budget * self.n_model, 128)
             eff_lay = lay_b or eff_exp
             nc, ni = int(demand[0]), int(demand[1])
             if nc > eff_exp or ni > eff_lay:
                 self._update_budget(h, w, nc, ni)
-                redo = redo or self._budget_for(h, w) != (exp_b, lay_b)
+                redo = redo or self._budget_for(h, w)[:2] != (exp_b, lay_b)
         if redo:
             rgb, _, _ = go()
         return rgb

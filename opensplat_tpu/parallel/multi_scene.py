@@ -36,7 +36,7 @@ def unstack_states(stacked: TrainState, n: int):
     jax.jit,
     static_argnames=(
         "height", "width", "sh_deg", "cfg", "accumulate", "renderer",
-        "isect_budget", "layout_budget",
+        "isect_budget", "layout_budget", "grad_budget",
     ),
 )
 def multi_scene_train_step(
@@ -56,12 +56,13 @@ def multi_scene_train_step(
     renderer: str = "dense",
     isect_budget: int = 0,
     layout_budget: int = 0,
+    grad_budget: int = 0,
 ):
     def one(state, c2w, fx_, fy_, cx_, cy_, gt):
         return train_step_impl(
             state, c2w, fx_, fy_, cx_, cy_, gt, means_lr,
             height, width, sh_deg, cfg, accumulate, renderer, isect_budget,
-            layout_budget,
+            layout_budget, grad_budget,
         )
 
     return jax.vmap(one)(states, cam_to_world, fx, fy, cx, cy, gt_images)
@@ -71,7 +72,7 @@ def multi_scene_train_step(
     jax.jit,
     static_argnames=(
         "mesh", "height", "width", "sh_deg", "cfg", "accumulate",
-        "renderer", "isect_budget", "layout_budget",
+        "renderer", "isect_budget", "layout_budget", "grad_budget",
     ),
 )
 def sharded_multi_scene_step(
@@ -92,6 +93,7 @@ def sharded_multi_scene_step(
     renderer: str = "dense",
     isect_budget: int = 0,
     layout_budget: int = 0,
+    grad_budget: int = 0,
 ):
     """multi_scene_train_step under shard_map: the scene axis is sharded
     over the mesh's `data` axis and each device runs its own scenes'
@@ -108,6 +110,7 @@ def sharded_multi_scene_step(
             return train_step_impl(
                 s, c, f1, f2, c1, c2, g, means_lr, height, width, sh_deg,
                 cfg, accumulate, renderer, isect_budget, layout_budget,
+                grad_budget,
             )
 
         return jax.vmap(one)(st, c2w, fx_, fy_, cx_, cy_, gt)
@@ -177,7 +180,7 @@ class MultiSceneTrainer:
         # budget machinery reused over this object's own dict)
         self._isect_budgets: dict = {}
         self.overflow_events = 0
-        self._pending_demand = jnp.zeros((2,), jnp.int32)
+        self._pending_demand = jnp.zeros((3,), jnp.int32)
         self._align_and_stack([c.state for c in self.children])
 
     # reuse Trainer's budget bookkeeping verbatim
@@ -236,7 +239,7 @@ class MultiSceneTrainer:
             )
         h, w = gts[0].shape[0], gts[0].shape[1]
         if (h, w) != self.last_hw:
-            self._pending_demand = jnp.zeros((2,), jnp.int32)
+            self._pending_demand = jnp.zeros((3,), jnp.int32)
         self.last_hw = (h, w)
         sh_deg = sh_degrees_for_step(step, cfg)
         means_lr = means_lr_schedule(
@@ -259,6 +262,7 @@ class MultiSceneTrainer:
             accumulate=accumulate, renderer=self.renderer,
             isect_budget=self._budget_for(h, w)[0],
             layout_budget=self._budget_for(h, w)[1],
+            grad_budget=self._budget_for(h, w)[2],
         )
         if self.mesh is not None:
             self.state, metrics = sharded_multi_scene_step(
@@ -273,8 +277,9 @@ class MultiSceneTrainer:
         )
         if step <= 3 or step % 10 == 0 or step % cfg.refine_every == 0:
             d = np.asarray(self._pending_demand)
-            self._check_overflow(h, w, int(d[0]), int(d[1]))
-            self._pending_demand = jnp.zeros((2,), jnp.int32)
+            self._check_overflow(h, w, int(d[0]), int(d[1]),
+                                 int(d[2]) if d.shape[0] > 2 else 0)
+            self._pending_demand = jnp.zeros((3,), jnp.int32)
 
         if step % cfg.refine_every == 0 and step > cfg.warmup_length:
             self._refine(step)

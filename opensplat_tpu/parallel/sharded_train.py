@@ -75,7 +75,7 @@ def accumulate_stats_batched(
     jax.jit,
     static_argnames=(
         "height", "width", "sh_deg", "cfg", "accumulate", "renderer",
-        "isect_budget", "layout_budget",
+        "isect_budget", "layout_budget", "grad_budget",
     ),
 )
 def batched_train_step(
@@ -95,13 +95,15 @@ def batched_train_step(
     renderer: str = "dense",
     isect_budget: int = 0,
     layout_budget: int = 0,
+    grad_budget: int = 0,
     pending_demand=None,
 ):
     """One camera-DP training step on the production renderer.
 
     `isect_budget`/`layout_budget` are PER-CAMERA static intersection
     budgets (each camera slot runs its own binning stream); metrics
-    carry `demand` = the per-camera max of [n_cands, n_isects] across
+    carry `demand` = the per-camera max of [n_cands, n_isects, n_grads]
+    across
     the batch (folded with `pending_demand`) for the host budget
     feedback — overflow is never silent (SURVEY.md §7 hard-part 3)."""
     background = jnp.asarray(DEFAULT_BACKGROUND, jnp.float32)
@@ -114,10 +116,12 @@ def batched_train_step(
             height, width, sh_deg, background,
             xys_shift=xys_shift, renderer=renderer,
             isect_budget=isect_budget, layout_budget=layout_budget,
+            grad_budget=grad_budget,
         )
         return (
             main_loss(out.rgb, gt, cfg.ssim_weight),
-            (out.radii, psnr(out.rgb, gt), out.n_cands, out.n_isects),
+            (out.radii, psnr(out.rgb, gt), out.n_cands, out.n_isects,
+             out.n_grads),
         )
 
     def loss_fn(params, xys_shifts):
@@ -126,7 +130,7 @@ def batched_train_step(
         )(params, xys_shifts, cam_to_world, fx, fy, cx, cy, gt_images)
         return losses.mean(), aux
 
-    (loss, (radii_b, psnr_b, cands_b, isects_b)), (g_params, g_xys_b) = (
+    (loss, (radii_b, psnr_b, cands_b, isects_b, grads_b)), (g_params, g_xys_b) = (
         jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
             state.params, jnp.zeros((d, capacity, 2), jnp.float32)
         )
@@ -148,7 +152,9 @@ def batched_train_step(
 
     new_state = state.replace(params=new_params, opt=new_opt, stats=stats)
     demand = jnp.stack(
-        [jnp.max(cands_b).astype(jnp.int32), jnp.max(isects_b).astype(jnp.int32)]
+        [jnp.max(cands_b).astype(jnp.int32),
+         jnp.max(isects_b).astype(jnp.int32),
+         jnp.max(grads_b).astype(jnp.int32)]
     )
     if pending_demand is not None:
         demand = jnp.maximum(demand, pending_demand)

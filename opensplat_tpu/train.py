@@ -53,12 +53,14 @@ def train_step_impl(
     renderer: str = "dense",
     isect_budget: int = 0,
     layout_budget: int = 0,
+    grad_budget: int = 0,
     pending_demand: Optional[jax.Array] = None,
 ):
     """Un-jitted train step body — jitted below as train_step; also
     vmapped over a leading scene axis by parallel.multi_scene.
 
-    `pending_demand` is a (2,) int32 running max of [n_cands, n_isects]
+    `pending_demand` is a (3,) int32 running max of [n_cands, n_isects,
+    n_grads]
     since the host last looked: the step folds its own demand in
     device-side so budget overflows between host sync points are never
     lost (SURVEY.md §7 hard-part 3: no silent truncation)."""
@@ -82,6 +84,7 @@ def train_step_impl(
             renderer=renderer,
             isect_budget=isect_budget,
             layout_budget=layout_budget,
+            grad_budget=grad_budget,
         )
         loss = main_loss(out.rgb, gt_image, cfg.ssim_weight)
         return loss, out
@@ -106,7 +109,8 @@ def train_step_impl(
 
     new_state = state.replace(params=new_params, opt=new_opt, stats=stats)
     demand = jnp.stack(
-        [out.n_cands.astype(jnp.int32), out.n_isects.astype(jnp.int32)]
+        [out.n_cands.astype(jnp.int32), out.n_isects.astype(jnp.int32),
+         out.n_grads.astype(jnp.int32)]
     )
     if pending_demand is not None:
         demand = jnp.maximum(demand, pending_demand)
@@ -116,6 +120,7 @@ def train_step_impl(
         "n_visible": jnp.sum(out.mask),
         "n_isects": out.n_isects,
         "n_cands": out.n_cands,
+        "n_grads": out.n_grads,
         "n_alive": jnp.sum(new_state.alive),
         "demand": demand,
     }
@@ -126,7 +131,7 @@ train_step = partial(
     jax.jit,
     static_argnames=(
         "height", "width", "sh_deg", "cfg", "accumulate", "renderer",
-        "isect_budget", "layout_budget",
+        "isect_budget", "layout_budget", "grad_budget",
     ),
 )(train_step_impl)
 
@@ -203,12 +208,12 @@ class Trainer:
         # adaptive intersection budgets, keyed by render resolution;
         # bucketed to bound recompiles (SURVEY.md §7 "bucketed recompile")
         self._isect_budgets: dict = {}
-        # device-side running max of [n_cands, n_isects] since the last
-        # host look — overflow between sync points is detected, logged
-        # with its drop count, and regrown (never silent). Always a (2,)
-        # int32 array: swapping None in and out would change the jit
-        # signature and recompile the whole step.
-        self._pending_demand: jax.Array = jnp.zeros((2,), jnp.int32)
+        # device-side running max of [n_cands, n_isects, n_grads] since
+        # the last host look — overflow between sync points is detected,
+        # logged with its drop count, and regrown (never silent). Always
+        # a (3,) int32 array: swapping None in and out would change the
+        # jit signature and recompile the whole step.
+        self._pending_demand: jax.Array = jnp.zeros((3,), jnp.int32)
         self.overflow_events: int = 0
         # device-resident GT cache: (cam_idx, factor) -> HBM array.
         # See TrainConfig.gt_cache_mb.
@@ -223,8 +228,8 @@ class Trainer:
     _BUDGET_MARGIN = 1.15
 
     def _budget_for(self, h: int, w: int) -> tuple:
-        # (expansion budget, layout budget); 0 = renderer default
-        return self._isect_budgets.get((h, w), (0, 0))
+        # (expansion, layout, compact-gradient budget); 0 = renderer default
+        return self._isect_budgets.get((h, w), (0, 0, 0))
 
     def _capacity_rounding(self) -> int:
         # capacity-growth granularity; subclasses with sharded capacity
@@ -284,10 +289,11 @@ class Trainer:
         self._gt_cache_used += arr.nbytes
         return arr
 
-    def _update_budget(self, h: int, w: int, n_cands: int, n_isects: int):
+    def _update_budget(self, h: int, w: int, n_cands: int, n_isects: int,
+                       n_grads: int = 0):
         if self.renderer not in ("tiled", "pallas"):
             return
-        cur = self._isect_budgets.get((h, w), (0, 0))
+        cur = self._isect_budgets.get((h, w), (0, 0, 0))
 
         def fit(demand: int, current: int) -> int:
             if demand <= 0:
@@ -298,14 +304,16 @@ class Trainer:
                 return max(want, demand)
             return current
 
-        new = (fit(n_cands, cur[0]), fit(n_isects, cur[1]))
+        new = (fit(n_cands, cur[0]), fit(n_isects, cur[1]),
+               fit(n_grads, cur[2]))
         if new != cur:
             self._isect_budgets[(h, w)] = new
 
-    def _check_overflow(self, h: int, w: int, n_cands: int, n_isects: int):
+    def _check_overflow(self, h: int, w: int, n_cands: int, n_isects: int,
+                        n_grads: int = 0):
         """Log budget overflows with their drop counts (SURVEY.md §7
         hard-part 3: truncation must be visible), then regrow."""
-        exp_b, lay_b = self._budget_for(h, w)
+        exp_b, lay_b, grad_b = self._budget_for(h, w)
         if exp_b and n_cands > exp_b:
             self.overflow_events += 1
             print(
@@ -322,7 +330,15 @@ class Trainer:
                 f"({n_isects - lay_b} intersections dropped in >=1 recent "
                 f"step); regrowing"
             )
-        self._update_budget(h, w, n_cands, n_isects)
+        if grad_b and n_grads > grad_b:
+            self.overflow_events += 1
+            print(
+                f"[opensplat_tpu] gradient-stream budget overflow at "
+                f"{w}x{h}: demand {n_grads} > budget {grad_b} "
+                f"(grads of >=1 tile tail zeroed in >=1 recent step); "
+                f"regrowing"
+            )
+        self._update_budget(h, w, n_cands, n_isects, n_grads)
 
     def run_step(self, step: int) -> StepOutcome:
         cfg = self.cfg
@@ -333,7 +349,7 @@ class Trainer:
         h, w = gt.shape[0], gt.shape[1]
         if (h, w) != self.last_hw:
             # demand is budget-keyed by resolution; don't mix streams
-            self._pending_demand = jnp.zeros((2,), jnp.int32)
+            self._pending_demand = jnp.zeros((3,), jnp.int32)
         self.last_hw = (h, w)
         sh_deg = sh_degrees_for_step(step, cfg)
         means_lr = means_lr_schedule(
@@ -366,8 +382,9 @@ class Trainer:
         # since the last look, so overflow in between is still caught.
         if step <= 3 or step % 10 == 0 or step % cfg.refine_every == 0:
             d = np.asarray(metrics["demand"])
-            self._check_overflow(h, w, int(d[0]), int(d[1]))
-            self._pending_demand = jnp.zeros((2,), jnp.int32)
+            self._check_overflow(h, w, int(d[0]), int(d[1]),
+                                 int(d[2]) if d.shape[0] > 2 else 0)
+            self._pending_demand = jnp.zeros((3,), jnp.int32)
 
         if step % cfg.refine_every == 0 and step > cfg.warmup_length:
             self._refine(step)
@@ -439,17 +456,19 @@ class Trainer:
             sh_degrees_for_step(step, cfg),
             self.renderer,
         )
-        rgb, n_cands, n_isects = render_image(*args, *self._budget_for(h, w))
+        rgb, n_cands, n_isects = render_image(*args, *self._budget_for(h, w)[:2])
         if self.renderer in ("tiled", "pallas"):
-            exp_b, lay_b = self._budget_for(h, w)
+            exp_b, lay_b = self._budget_for(h, w)[:2]
             # budget 0 = renderer default floor (see rasterize_pallas)
             eff_exp = exp_b or max(8 * self.state.alive.shape[0], 128)
             eff_lay = lay_b or eff_exp
             nc, ni = int(n_cands), int(n_isects)
             if nc > eff_exp or ni > eff_lay:
                 self._update_budget(h, w, nc, ni)
-                if self._budget_for(h, w) != (exp_b, lay_b):
-                    rgb, _, _ = render_image(*args, *self._budget_for(h, w))
+                if self._budget_for(h, w)[:2] != (exp_b, lay_b):
+                    rgb, _, _ = render_image(
+                        *args, *self._budget_for(h, w)[:2]
+                    )
         return rgb
 
 

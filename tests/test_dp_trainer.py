@@ -35,7 +35,7 @@ def _dp_args(state, cams, gts, d, mesh):
     return (
         jax.device_put(state, rep),
         {k: jax.device_put(v, cam_sh) for k, v in args.items()},
-        jax.device_put(jnp.zeros((2,), jnp.int32), rep),
+        jax.device_put(jnp.zeros((3,), jnp.int32), rep),
     )
 
 

@@ -161,7 +161,7 @@ def test_dpgs_hybrid_matches_dp_replicated(renderer):
         jax.device_put(state, NamedSharding(dp_mesh, P())),
         cam_args["cam_to_world"], cam_args["fx"], cam_args["fy"],
         cam_args["cx"], cam_args["cy"], cam_args["gt_images"], LR,
-        jnp.zeros((2,), jnp.int32), dp_mesh, H, W, 1, CFG, True,
+        jnp.zeros((3,), jnp.int32), dp_mesh, H, W, 1, CFG, True,
         renderer, d_local=1,
     )
 

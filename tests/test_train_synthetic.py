@@ -140,32 +140,35 @@ def test_budget_hysteresis():
     B = Trainer._BUDGET_BUCKET
 
     m = Trainer._BUDGET_MARGIN
-    tr._update_budget(64, 64, 500_000, 400_000)
+    tr._update_budget(64, 64, 500_000, 400_000, 200_000)
     first = tr._budget_for(64, 64)
     assert first[0] >= int(500_000 * m)
     assert first[1] >= int(400_000 * m)
-    assert first[0] % B == 0 and first[1] % B == 0
+    assert first[2] >= int(200_000 * m)
+    assert all(b % B == 0 for b in first)
 
     # small fluctuation: no change
-    tr._update_budget(64, 64, 480_000, 390_000)
+    tr._update_budget(64, 64, 480_000, 390_000, 190_000)
     assert tr._budget_for(64, 64) == first
 
     # overflow: grow (each budget independently)
-    tr._update_budget(64, 64, first[0] + 1, first[1] + 1)
+    tr._update_budget(64, 64, first[0] + 1, first[1] + 1, first[2] + 1)
     grown = tr._budget_for(64, 64)
     assert grown[0] > first[0] and grown[1] > first[1]
+    assert grown[2] > first[2]
 
     # massive shrink: allowed to come back down
-    tr._update_budget(64, 64, 50_000, 40_000)
+    tr._update_budget(64, 64, 50_000, 40_000, 20_000)
     shrunk = tr._budget_for(64, 64)
     assert shrunk[0] < first[0] and shrunk[1] < first[1]
+    assert shrunk[2] < first[2]
 
     # dense renderer never budgets
     tr2 = Trainer.__new__(Trainer)
     tr2.renderer = "dense"
     tr2._isect_budgets = {}
-    tr2._update_budget(64, 64, 100_000, 100_000)
-    assert tr2._budget_for(64, 64) == (0, 0)
+    tr2._update_budget(64, 64, 100_000, 100_000, 100_000)
+    assert tr2._budget_for(64, 64) == (0, 0, 0)
 
 
 def test_overflow_is_logged_and_regrown(capsys):
@@ -190,7 +193,7 @@ def test_overflow_is_logged_and_regrown(capsys):
     trainer = Trainer(state, cams, cfg, renderer="tiled")
 
     # deliberately undersized budgets for this scene
-    trainer._isect_budgets[(64, 64)] = (128, 128)
+    trainer._isect_budgets[(64, 64)] = (128, 128, 128)
     # steps 4..9 are NOT sync points: overflow there must still be seen
     # at step 10 via the pending-demand max
     for step in range(4, 11):
@@ -218,12 +221,12 @@ def test_render_budget_feedback():
     cfg = TrainConfig(num_iters=100, sh_degree=1, num_downscales=0)
     trainer = Trainer(gt_state, cams, cfg, renderer="tiled")
 
-    trainer._isect_budgets[(64, 64)] = (128, 128)
+    trainer._isect_budgets[(64, 64)] = (128, 128, 128)
     img = np.asarray(trainer.render(cams[0], step=50))
     assert trainer._budget_for(64, 64)[1] > 128
 
     trainer2 = Trainer(gt_state, cams, cfg, renderer="tiled")
-    trainer2._isect_budgets[(64, 64)] = (1 << 16, 1 << 16)
+    trainer2._isect_budgets[(64, 64)] = (1 << 16, 1 << 16, 1 << 16)
     ref = np.asarray(trainer2.render(cams[0], step=50))
     np.testing.assert_allclose(img, ref, atol=1e-5)
 
