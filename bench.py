@@ -103,7 +103,7 @@ def run_dp_bench(d, n_points, h, renderer):
         "value": round(steps_per_sec, 3),
         "unit": f"steps/s ({d} cameras/step)",
         "vs_baseline": None,
-        **_derived(steps_per_sec, h, w, n_points, cams_per_step=d),
+        **_derived(steps_per_sec, h, w, int(m["n_alive"]), cams_per_step=d),
     }))
 
 
@@ -189,7 +189,7 @@ def run_hybrid_bench(d, m, n_points, h, renderer):
         "value": round(n_iters / dt, 3),
         "unit": f"steps/s ({d} cameras/step, capacity 1/{m})",
         "vs_baseline": None,
-        **_derived(n_iters / dt, h, w, n_points, cams_per_step=d),
+        **_derived(n_iters / dt, h, w, int(mm["n_alive"]), cams_per_step=d),
     }))
 
 
@@ -258,7 +258,7 @@ def run_mp_bench(m, n_points, h, renderer):
         "value": round(n_iters / dt, 3),
         "unit": f"steps/s (capacity sharded 1/{m})",
         "vs_baseline": None,
-        **_derived(n_iters / dt, h, w, n_points),
+        **_derived(n_iters / dt, h, w, int(mm["n_alive"])),
     }))
 
 
@@ -354,7 +354,10 @@ def run_scenes_bench(s, n_points, h, renderer):
         "value": round(n_iters * s / dt, 3),
         "unit": f"scene-steps/s ({s} scenes/step)",
         "vs_baseline": None,
-        **_derived(n_iters * s / dt, h, w, n_points),
+        # per-scene alive count (metrics["n_alive"] is the (S,) vector
+        # from the raw multi-scene step): scene-steps/s x alive/scene
+        **_derived(n_iters * s / dt, h, w,
+                   int(np.mean(np.asarray(m["n_alive"])))),
     }))
 
 
@@ -371,9 +374,11 @@ def _derived(steps_per_sec, h, w, n_alive, cams_per_step=1):
     }
 
 
-# default full sweep (VERDICT r2 item 2): all three stress configs in ONE
-# driver run so BENCH_r{N}.json captures the sizes that matter
-SWEEP = ((131072, 512), (524288, 800), (1048576, 1080))
+# default full sweep (VERDICT r2 item 2, + the 16k anchor config per
+# VERDICT r4 item 6): every BENCH_ANCHOR size in ONE driver run so
+# BENCH_r{N}.json captures a round-over-round trail for each
+SWEEP = ((16384, 256), (131072, 512), (524288, 800), (1048576, 1080))
+HEADLINE = (131072, 512)
 
 
 def run_single(n_points, h, renderer, emit=True):
@@ -496,11 +501,11 @@ def main():
     # default: the full sweep, one JSON line per config, then the
     # headline line (131k@512, the anchor-tracked config) LAST with the
     # whole sweep attached so the driver-parsed record carries every size
-    results = []
+    results = {}
     for np_, res_ in SWEEP:
-        results.append(run_single(np_, res_, renderer, emit=True))
-    head = dict(results[0])
-    head["sweep"] = results
+        results[(np_, res_)] = run_single(np_, res_, renderer, emit=True)
+    head = dict(results[HEADLINE])
+    head["sweep"] = list(results.values())
     print(json.dumps(head))
 
 

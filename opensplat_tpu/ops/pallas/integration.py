@@ -272,6 +272,13 @@ def rasterize_pallas(
 
     opacities = opacities.reshape(-1)
     c = xys.shape[0]
+    if c >= 2 ** 23:
+        raise ValueError(
+            f"rasterize_pallas: capacity {c} >= 2^23 — the packed gradient "
+            "records carry gid as the f32 value 2^23+gid, exact only below "
+            "8388608 ids. Shard the Gaussian axis (parallel/gaussian_shard) "
+            "so each device's visible table stays under 2^23."
+        )
     tb_x, tb_y = num_tiles(height, width)
     floor_budget = max(8 * c, K)
     if max_isects <= 0:

@@ -382,8 +382,7 @@ class Trainer:
         # since the last look, so overflow in between is still caught.
         if step <= 3 or step % 10 == 0 or step % cfg.refine_every == 0:
             d = np.asarray(metrics["demand"])
-            self._check_overflow(h, w, int(d[0]), int(d[1]),
-                                 int(d[2]) if d.shape[0] > 2 else 0)
+            self._check_overflow(h, w, int(d[0]), int(d[1]), int(d[2]))
             self._pending_demand = jnp.zeros((3,), jnp.int32)
 
         if step % cfg.refine_every == 0 and step > cfg.warmup_length:
