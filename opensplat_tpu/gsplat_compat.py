@@ -35,6 +35,7 @@ from .ops.projection import (
     project_gaussians,
 )
 from .ops.rasterize import rasterize
+from .ops.rasterize_tiled import rasterize_tiled
 from .ops.sh import eval_sh_basis, num_sh_bases, spherical_harmonics
 from .ops.tensor_math import quat_to_rotmat
 
@@ -141,10 +142,48 @@ def rasterize_backward(
     return vjp((v_out_img, v_out_alpha))
 
 
-# the dense renderer is channel-generic, so the nd_ entry points are the
-# same functions (reference: forward.cu:174-254, backward.cu:15-129)
-nd_rasterize_forward = rasterize_forward
-nd_rasterize_backward = rasterize_backward
+def nd_rasterize_forward(
+    xys, depths, radii, conics, num_tiles_hit, colors, opacity,
+    img_height, img_width, background, max_isects: int = 0,
+):
+    """Channel-generic rasterization on the TILED fast path (work
+    proportional to the intersection count, like the reference's
+    production nd_rasterize_forward, forward.cu:174-254 — NOT the dense
+    conformance renderer). colors: (N, CH) for any CH (depth maps,
+    feature planes, RGB+alpha, ...); background: (CH,).
+
+    Returns (out_img (H, W, CH), final_Ts (H, W))."""
+    proj = _proj_like(
+        xys, depths, radii, num_tiles_hit.astype(jnp.int32),
+        img_height, img_width,
+    )
+    return rasterize_tiled(
+        xys, conics, colors, opacity.reshape(-1), depths, radii,
+        proj.num_tiles_hit, proj.tile_min, proj.tile_max,
+        jnp.asarray(background, jnp.float32), img_height, img_width,
+        max_isects=max_isects,
+    )
+
+
+def nd_rasterize_backward(
+    xys, depths, radii, conics, num_tiles_hit, colors, opacity,
+    img_height, img_width, background, v_out_img, v_out_alpha=None,
+    max_isects: int = 0,
+):
+    """(v_xy, v_conic, v_colors, v_opacity) for any channel count —
+    backward.cu:15-129 parity, computed through the tiled fast path's
+    custom VJP."""
+    if v_out_alpha is None:
+        v_out_alpha = jnp.zeros((img_height, img_width), jnp.float32)
+
+    def fwd(xys, conics, colors, opacity):
+        return nd_rasterize_forward(
+            xys, depths, radii, conics, num_tiles_hit, colors, opacity,
+            img_height, img_width, background, max_isects=max_isects,
+        )
+
+    _, vjp = jax.vjp(fwd, xys, conics, colors, opacity)
+    return vjp((v_out_img, v_out_alpha))
 
 
 def compute_sh_forward(degrees_to_use, viewdirs, coeffs):

@@ -157,3 +157,67 @@ def render_forward(
         n_cands=n_cands,
         n_grads=n_grads,
     )
+
+
+def render_depth(
+    params: GaussianParams,
+    alive: jax.Array,
+    cam_to_world: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    height: int,
+    width: int,
+    mode: str = "expected",
+    max_isects: int = 0,
+):
+    """Depth-map render on the channel-generic tiled fast path (the
+    nd_ rasterization the reference exposes through gsplat,
+    forward.cu:174-254, with camera-space depth as the single channel).
+
+    mode="accumulated": sum_i alpha_i T_i d_i (raw compositing weights);
+    mode="expected":    accumulated / (1 - final_T) — expected depth per
+                        pixel, background pixels (nothing hit) = 0.
+
+    Returns (depth (H, W), alpha (H, W)) with alpha = 1 - final_T.
+    Differentiable (depth flows to means via the projection chain)."""
+    from ..ops.rasterize_tiled import rasterize_tiled
+
+    viewmat, full_proj, _ = camera_matrices(cam_to_world, fx, fy, width, height)
+    proj = project_gaussians(
+        params.means,
+        jnp.exp(params.scales),
+        1.0,
+        params.quats / jnp.linalg.norm(params.quats, axis=-1, keepdims=True),
+        viewmat,
+        full_proj,
+        fx, fy, cx, cy, height, width,
+        mode="gpu",
+        valid_mask=alive,
+        opacities=jax.lax.stop_gradient(jax.nn.sigmoid(params.opacities)),
+    )
+    acc, final_t = rasterize_tiled(
+        proj.xys,
+        proj.conics,
+        # CH=1: camera-space z as the composited channel
+        # (ProjectedGaussians.depths; .cam_depths is NDC z)
+        proj.depths[:, None],
+        jax.nn.sigmoid(params.opacities),
+        proj.depths,
+        proj.radii,
+        proj.num_tiles_hit,
+        proj.tile_min,
+        proj.tile_max,
+        jnp.zeros((1,), jnp.float32),
+        height,
+        width,
+        max_isects=max_isects,
+    )
+    depth = acc[..., 0]
+    alpha = 1.0 - final_t
+    if mode == "expected":
+        depth = jnp.where(alpha > 1e-6, depth / jnp.maximum(alpha, 1e-6), 0.0)
+    elif mode != "accumulated":
+        raise ValueError(f"unknown depth mode {mode!r}")
+    return depth, alpha

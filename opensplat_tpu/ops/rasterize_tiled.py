@@ -142,7 +142,9 @@ def _forward_scan(xys, conics, colors, opac, gauss_ids, tile_ids,
     init = (
         jnp.ones((n_tiles, PIX_PER_TILE), jnp.float32),
         jnp.zeros((n_tiles, PIX_PER_TILE), bool),
-        jnp.zeros((n_tiles, PIX_PER_TILE, 3), jnp.float32),
+        # channel-generic (nd_ parity, forward.cu:174-254): accumulator
+        # width follows the colors operand
+        jnp.zeros((n_tiles, PIX_PER_TILE, colors.shape[-1]), jnp.float32),
         jnp.full((n_tiles, PIX_PER_TILE), _BIG, jnp.int32),
     )
     chunks = (
@@ -308,7 +310,10 @@ def _rasterize_binned_bwd(height, width, chunk_size, res, cotangents):
         tile_ids.reshape(n_chunks, chunk_size),
         jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size,
     )
-    init = (T_final_state, jnp.zeros((n_tiles, PIX_PER_TILE, 3), jnp.float32))
+    init = (
+        T_final_state,
+        jnp.zeros((n_tiles, PIX_PER_TILE, colors.shape[-1]), jnp.float32),
+    )
     step = partial(
         _bwd_chunk, xys=xys, conics=conics, colors=colors, opac=opac,
         v_out_t=v_out_t, v_oa_t=v_oa_t, T_final_t=T_final_state,
@@ -322,7 +327,9 @@ def _rasterize_binned_bwd(height, width, chunk_size, res, cotangents):
     gid_flat = gauss_ids  # (I,) with sentinel c for invalid
     v_xys = jnp.zeros_like(xys).at[gid_flat].add(v_xy_i.reshape(I, 2), mode="drop")
     v_conics = jnp.zeros_like(conics).at[gid_flat].add(v_con_i.reshape(I, 3), mode="drop")
-    v_colors = jnp.zeros_like(colors).at[gid_flat].add(v_col_i.reshape(I, 3), mode="drop")
+    v_colors = jnp.zeros_like(colors).at[gid_flat].add(
+        v_col_i.reshape(I, colors.shape[-1]), mode="drop"
+    )
     v_opac = jnp.zeros_like(opac).at[gid_flat].add(v_op_i.reshape(I), mode="drop")
 
     T_final_img = _tiles_to_image(T_final_state, tb_x, tb_y, height, width)
