@@ -78,6 +78,14 @@ if K % 128 != 0 or K <= 0:
     raise ValueError(
         f"OPENSPLAT_TPU_RASTER_K must be a positive multiple of 128, got {K}"
     )
+# chunk-DMA pipeline depth (buffer slots; prefetch distance = NBUF - 1).
+# The 2-slot/depth-1 pipeline left the loop DMA-LATENCY bound: per-chunk
+# HBM->VMEM latency (~0.7 us) exceeds per-chunk compute, so K=128 (2x
+# chunks, half work) measured WORSE and removing VPU work measured flat.
+# Deeper prefetch hides the latency behind N-1 chunks of compute.
+NBUF = int(os.environ.get("OPENSPLAT_TPU_RASTER_NBUF", 4))
+if NBUF < 2:
+    raise ValueError(f"OPENSPLAT_TPU_RASTER_NBUF must be >= 2, got {NBUF}")
 PIX = BLOCK_X * BLOCK_Y  # 256 pixels per tile (sublane dim)
 REC_IN = 8  # input record planes (packed colors; row 7 = 2^23 + gid)
 # gradient record planes: 6 meaningful (4 bf16 pairs + v_b + the gid
@@ -105,6 +113,16 @@ def unpack_bf16_pair(packed: jax.Array):
     lo = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
     return hi, lo
 _BIG = 2**30  # python int: jnp scalars would be captured consts in kernels
+
+# TEMPORARY ablation knob (bench-only, wrong output): replace the
+# per-pair transcendentals with 2-op polynomials to test whether the
+# kernels are transcendental-throughput bound.
+if os.environ.get("OPENSPLAT_TPU_FAKE_TRANS"):
+    _exp = lambda x: 1.0 + x * 0.5
+    _log1p = lambda x: x * 0.99
+else:
+    _exp = jnp.exp
+    _log1p = jnp.log1p
 _LOG_T_EPS = float(__import__("math").log(T_EPS))
 
 # prefix/suffix compositing matmuls: OPENSPLAT_TPU_MXU=hilo splits the
@@ -136,6 +154,53 @@ def _cum_matrices():
     incl_lower = (r >= c).astype(jnp.float32)  # x @ M -> incl suffix per lane
     strict_lower = (r > c).astype(jnp.float32)  # x @ M -> excl suffix per lane
     return strict_upper, incl_lower, strict_lower
+
+
+# sigma evaluation backend: "mxu" evaluates the (pixel, gaussian)
+# quadratic exponent as ONE (PIX, 8) x (8, K) matmul per chunk — the
+# pixel factor is a per-tile CONSTANT (local pixel offsets from the tile
+# center), the per-record factor is cheap (1, K)-row math — replacing
+# the ~11 VPU ops/pair of the expanded dx/dy chain. Tile-centered
+# coordinates keep every product's magnitude at the scale of the
+# exponent itself (|terms| <~ 200 for any pair the ellipse cull admits),
+# so f32 cancellation error stays ~1e-5 absolute in sigma; exact
+# arithmetic guarantees sigma >= 0 (PSD conic), so the matmul result is
+# clamped at 0 instead of re-testing the sign (the reference's
+# sigma < 0 skip, forward.cu:341, is the same defensive clamp).
+_SIGMA_MXU = os.environ.get("OPENSPLAT_TPU_SIGMA", "mxu") == "mxu"
+
+
+def _pixel_quad(tb_x):
+    """(PIX, 8) per-tile-constant pixel quadratic features
+    [qx^2, qy^2, qx*qy, qx, qy, 1, 0, 0] with qx, qy the pixel offsets
+    from the tile center (identical for every tile)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    qx = (sub % BLOCK_X).astype(jnp.float32) - 0.5 * (BLOCK_X - 1)
+    qy = (sub // BLOCK_X).astype(jnp.float32) - 0.5 * (BLOCK_Y - 1)
+    one = jnp.ones((PIX, 1), jnp.float32)
+    zero = jnp.zeros((PIX, 2), jnp.float32)
+    return jnp.concatenate(
+        [qx * qx, qy * qy, qx * qy, qx, qy, one, zero], axis=1
+    )
+
+
+def _record_quad(x, y, A, B, C, tcx, tcy):
+    """(8, K) per-record quadratic features so that
+    sigma = _pixel_quad() @ _record_quad() (see _SIGMA_MXU)."""
+    xr = x - tcx
+    yr = y - tcy
+    return jnp.concatenate(
+        [
+            0.5 * A,
+            0.5 * C,
+            B,
+            -(A * xr + B * yr),
+            -(C * yr + B * xr),
+            0.5 * (A * xr * xr + C * yr * yr) + B * xr * yr,
+            jnp.zeros((2, x.shape[1]), jnp.float32),
+        ],
+        axis=0,
+    )
 
 
 def _pixel_coords(t, tb_x):
@@ -175,7 +240,12 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
     # belongs to the previous tile's tail (valid memory)
     base0 = pl.multiple_of(start - jax.lax.rem(start, K), K)
     n_chunks = jnp.where(end > start, pl.cdiv(end - base0, K), 0)
-    px, py = _pixel_coords(t, tb_x)
+    if _SIGMA_MXU:
+        P_quad = _pixel_quad(tb_x)
+        tcx = ((t % tb_x) * BLOCK_X + 0.5 * (BLOCK_X - 1)).astype(jnp.float32)
+        tcy = ((t // tb_x) * BLOCK_Y + 0.5 * (BLOCK_Y - 1)).astype(jnp.float32)
+    else:
+        px, py = _pixel_coords(t, tb_x)
     M_excl, _, _ = _cum_matrices()
     n_recs = recs_hbm.shape[1]
 
@@ -183,9 +253,9 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
     state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
     fidx_s[:, :] = jnp.full((PIX, 1), _BIG, jnp.int32)
 
-    # double-buffered chunk DMA: slot i%2 holds chunk i; chunk i+1 is
-    # prefetched while chunk i computes (the blocking start();wait()
-    # version left the DMA engine idle during every compute block).
+    # NBUF-deep chunk-DMA pipeline: slot i%NBUF holds chunk i; chunks
+    # i+1..i+NBUF-1 are in flight while chunk i computes (per-chunk HBM
+    # latency exceeds per-chunk compute, so depth 1 serialized the loop).
     # Prefetch addresses are clamped into the record table — reading a
     # stranger tile's records is harmless, the compute masks by bounds.
     def _chunk_dma(i, slot):
@@ -196,12 +266,13 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
             recs_hbm.at[:, pl.ds(base, K)], buf.at[slot], sem.at[slot]
         )
 
-    _chunk_dma(jnp.int32(0), jnp.int32(0)).start()
+    for d in range(NBUF - 1):
+        _chunk_dma(jnp.int32(d), jnp.int32(d)).start()
 
     def body(carry):
         i, _ = carry
-        slot = jax.lax.rem(i, 2)
-        _chunk_dma(i + 1, 1 - slot).start()
+        slot = jax.lax.rem(i, NBUF)
+        _chunk_dma(i + NBUF - 1, jax.lax.rem(i + NBUF - 1, NBUF)).start()
         _chunk_dma(i, slot).wait()
         base = pl.multiple_of(base0 + i * K, K)
         x, y, A, B, C, op, col = _chunk_fields(buf[slot])
@@ -214,13 +285,21 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
         row_gk = base + lane
         row_valid = (row_gk >= start) & (row_gk < end)  # (1, K)
-        dx = x - px  # (PIX, K)
-        dy = y - py
-        sigma = 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy
-        alpha = jnp.minimum(FWD_ALPHA_CLAMP, op * jnp.exp(-sigma))
-        used = row_valid & (sigma >= 0.0) & (alpha >= ALPHA_THRESH) & jnp.logical_not(done)
+        if _SIGMA_MXU:
+            F = _record_quad(x, y, A, B, C, tcx, tcy)
+            sigma = jnp.maximum(
+                jnp.dot(P_quad, F, preferred_element_type=jnp.float32), 0.0
+            )
+            sig_ok = row_valid
+        else:
+            dx = x - px  # (PIX, K)
+            dy = y - py
+            sigma = 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy
+            sig_ok = row_valid & (sigma >= 0.0)
+        alpha = jnp.minimum(FWD_ALPHA_CLAMP, op * _exp(-sigma))
+        used = sig_ok & (alpha >= ALPHA_THRESH) & jnp.logical_not(done)
         a = jnp.where(used, alpha, 0.0)
-        la = jnp.log1p(-a)
+        la = _log1p(-a)
         excl = _dot_tri(la, M_excl)
         # stop test in log space (saves the exp the Tb formulation
         # needed): T_carry*exp(excl)*(1-a) <= T_EPS  <=>
@@ -239,16 +318,16 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
         def _with_stop():
             comp = used & (gk < fidx)
             a_eff = jnp.where(comp, a, 0.0)
-            la_eff = jnp.log1p(-a_eff)
+            la_eff = _log1p(-a_eff)
             excl_eff = _dot_tri(la_eff, M_excl)
             return a_eff, la_eff, excl_eff
 
         a_eff, la_eff, excl_eff = jax.lax.cond(
             jnp.any(stop), _with_stop, lambda: (a, la, excl)
         )
-        vis = a_eff * T_carry * jnp.exp(excl_eff)  # (PIX, K)
+        vis = a_eff * T_carry * _exp(excl_eff)  # (PIX, K)
         rgb = rgb + jnp.dot(vis, col.T, preferred_element_type=jnp.float32)
-        T_carry = T_carry * jnp.exp(jnp.sum(la_eff, axis=1, keepdims=True))
+        T_carry = T_carry * _exp(jnp.sum(la_eff, axis=1, keepdims=True))
         done_new = done | jnp.any(stop, axis=1, keepdims=True)
 
         state[:, 0:1] = T_carry
@@ -264,9 +343,11 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
     final_i, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.zeros((), bool))
     )
-    # drain the outstanding prefetch (chunk final_i, started by the
-    # prologue or by the last executed body) before the scratch is reused
-    _chunk_dma(final_i, jax.lax.rem(final_i, 2)).wait()
+    # drain the outstanding prefetches (chunks final_i..final_i+NBUF-2,
+    # started by the prologue or the last executed bodies) before the
+    # scratch is reused by the next grid step
+    for d in range(NBUF - 1):
+        _chunk_dma(final_i + d, jax.lax.rem(final_i + d, NBUF)).wait()
 
     packed = jnp.concatenate(
         [state[:, 1:4], state[:, 0:1], jnp.zeros((PIX, 4), jnp.float32)], axis=1
@@ -290,10 +371,10 @@ def pallas_rasterize_forward(recs, tile_start, tile_end, tb_x: int, tb_y: int,
             pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, REC_IN, K), jnp.float32),
+            pltpu.VMEM((NBUF, REC_IN, K), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.VMEM((PIX, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     acc, fidx = pl.pallas_call(
@@ -351,6 +432,13 @@ def _bwd_kernel(
     # true compact demand for regrow feedback).
     comp0 = comp_ref[t]
     px, py = _pixel_coords(t, tb_x)
+    if _SIGMA_MXU:
+        # sigma must be BIT-IDENTICAL to the forward's (the fidx replay
+        # depends on which pairs pass the alpha threshold): same matmul,
+        # same clamp. dx/dy stay explicit — the gradient quants need them.
+        P_quad = _pixel_quad(tb_x)
+        tcx = ((t % tb_x) * BLOCK_X + 0.5 * (BLOCK_X - 1)).astype(jnp.float32)
+        tcy = ((t // tb_x) * BLOCK_Y + 0.5 * (BLOCK_Y - 1)).astype(jnp.float32)
     _, M_sfx_incl, M_sfx_excl = _cum_matrices()
 
     cot = cot_ref[0, :, :].T  # (PIX, 8): [v_r, v_g, v_b, v_ft, T_final, bg_dot]
@@ -376,9 +464,9 @@ def _bwd_kernel(
     state[:, :] = jnp.zeros((PIX, 8), jnp.float32)
     state[:, 0:1] = T_final
 
-    # double-buffered DMA on both sides: chunk i-1's records prefetch
-    # while chunk i computes, and each chunk's gradient record writes
-    # back asynchronously (waited only when its slot is reused).
+    # NBUF-deep DMA pipelines on both sides: chunks i-1..i-(NBUF-1)
+    # prefetch while chunk i computes, and each chunk's gradient record
+    # writes back asynchronously (waited only when its slot is reused).
     def _in_dma(j, slot):
         i = n_chunks - 1 - j
         base = pl.multiple_of(
@@ -397,13 +485,14 @@ def _bwd_kernel(
             gbuf.at[slot], grads_hbm.at[:, pl.ds(tgt, K)], gsem.at[slot]
         )
 
-    _in_dma(jnp.int32(0), jnp.int32(0)).start()
+    for d in range(NBUF - 1):
+        _in_dma(jnp.int32(d), jnp.int32(d)).start()
 
     def body(carry):
         j = carry
         i = n_chunks - 1 - j
-        slot = jax.lax.rem(j, 2)
-        _in_dma(j + 1, 1 - slot).start()
+        slot = jax.lax.rem(j, NBUF)
+        _in_dma(j + NBUF - 1, jax.lax.rem(j + NBUF - 1, NBUF)).start()
         _in_dma(j, slot).wait()
         base = pl.multiple_of(base0 + i * K, K)
         x, y, A, B, C, op, col = _chunk_fields(buf[slot])
@@ -419,17 +508,25 @@ def _bwd_kernel(
         row_valid = (row_gk >= start) & (row_gk < end)
         dx = x - px
         dy = y - py
-        sigma = 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy
-        vis_u = jnp.exp(-sigma)
+        if _SIGMA_MXU:
+            F = _record_quad(x, y, A, B, C, tcx, tcy)
+            sigma = jnp.maximum(
+                jnp.dot(P_quad, F, preferred_element_type=jnp.float32), 0.0
+            )
+            sig_ok = row_valid
+        else:
+            sigma = 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy
+            sig_ok = row_valid & (sigma >= 0.0)
+        vis_u = _exp(-sigma)
         alpha_f = jnp.minimum(FWD_ALPHA_CLAMP, op * vis_u)
         gk = base + jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 1)
-        comp = row_valid & (sigma >= 0.0) & (alpha_f >= ALPHA_THRESH) & (gk < fidx)
+        comp = sig_ok & (alpha_f >= ALPHA_THRESH) & (gk < fidx)
 
         alpha_b = jnp.where(comp, jnp.minimum(BWD_ALPHA_CLAMP, op * vis_u), 0.0)
-        lra = -jnp.log1p(-alpha_b)
+        lra = -_log1p(-alpha_b)
         ra = 1.0 / (1.0 - alpha_b)  # == exp(lra), one reciprocal cheaper
         sfx = _dot_tri(lra, M_sfx_incl)
-        T_k = T_run * jnp.exp(sfx)  # (PIX, K)
+        T_k = T_run * _exp(sfx)  # (PIX, K)
         fac = alpha_b * T_k
 
         # bk_r/g/b (per-channel suffix sums of the composited color,
@@ -516,14 +613,14 @@ def _bwd_kernel(
         )
 
         # this slot's previous write-back must land before overwriting
-        @pl.when(j >= 2)
+        @pl.when(j >= NBUF)
         def _():
-            _out_dma(j - 2, slot).wait()
+            _out_dma(j - NBUF, slot).wait()
 
         gbuf[slot] = grec
         _out_dma(j, slot).start()
 
-        state[:, 0:1] = T_run * jnp.exp(jnp.sum(lra, axis=1, keepdims=True))
+        state[:, 0:1] = T_run * _exp(jnp.sum(lra, axis=1, keepdims=True))
         state[:, 1:2] = buf_dot + jnp.sum(facw, axis=1, keepdims=True)
         return j + 1
 
@@ -531,16 +628,14 @@ def _bwd_kernel(
         return j < n_chunks
 
     j_end = jax.lax.while_loop(cond, body, jnp.int32(0))
-    # drain: the outstanding input prefetch + the last two write-backs
-    _in_dma(j_end, jax.lax.rem(j_end, 2)).wait()
+    # drain: the outstanding input prefetches + the last NBUF write-backs
+    for d in range(NBUF - 1):
+        _in_dma(j_end + d, jax.lax.rem(j_end + d, NBUF)).wait()
 
-    @pl.when(j_end >= 1)
-    def _():
-        _out_dma(j_end - 1, jax.lax.rem(j_end - 1, 2)).wait()
-
-    @pl.when(j_end >= 2)
-    def _():
-        _out_dma(j_end - 2, jax.lax.rem(j_end - 2, 2)).wait()
+    for d in range(1, NBUF + 1):
+        @pl.when(j_end >= d)
+        def _(d=d):
+            _out_dma(j_end - d, jax.lax.rem(j_end - d, NBUF)).wait()
 
 
 @functools.partial(
@@ -570,11 +665,11 @@ def pallas_rasterize_backward(recs, tile_start, tile_end, comp_start, cot,
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, REC_IN, K), jnp.float32),
-            pltpu.VMEM((2, REC, K), jnp.float32),
+            pltpu.VMEM((NBUF, REC_IN, K), jnp.float32),
+            pltpu.VMEM((NBUF, REC, K), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     zeros_out = jnp.zeros((REC, grad_n + K), jnp.float32)

@@ -57,10 +57,15 @@ def run_profiled(trace_dir: str, n_iters: int = 6):
     state, m = train_step(state, **args)
     jax.block_until_ready(m["loss"])
     if renderer in ("tiled", "pallas") and int(m["n_cands"]) > 0:
+        # same budget adoption as bench.py (incl. grad_budget — without
+        # it the gid payload sort runs at the uncompacted safe default
+        # and the anatomy overstates the sort line)
         fit = lambda d: (int(int(d) * 1.15) + 131071) // 131072 * 131072
         args["isect_budget"] = fit(m["n_cands"])
         if int(m["n_isects"]) > 0:
             args["layout_budget"] = fit(m["n_isects"])
+        if int(m.get("n_grads", 0)) > 0:
+            args["grad_budget"] = fit(m["n_grads"])
         state, m = train_step(state, **args)
         jax.block_until_ready(m["loss"])
 
@@ -106,7 +111,11 @@ def parse_xplane(trace_dir: str, n_iters: int, top: int = 40):
                         dur_ns = float(v) / 1e3
                         break
                 # "%opname.12 = f32[...] opcode(...)" -> "opname"
-                stem = ev.name.split(" = ")[0].strip("%").rstrip("0123456789").rstrip(".")
+                # (PROFILE_FULL_NAMES=1 keeps the .12 so individual
+                # fusions can be ranked instead of lumped)
+                stem = ev.name.split(" = ")[0].strip("%")
+                if not os.environ.get("PROFILE_FULL_NAMES"):
+                    stem = stem.rstrip("0123456789").rstrip(".")
                 ms = dur_ns / 1e6
                 agg[stem] += ms
                 total += ms
