@@ -79,11 +79,11 @@ if K % 128 != 0 or K <= 0:
         f"OPENSPLAT_TPU_RASTER_K must be a positive multiple of 128, got {K}"
     )
 # chunk-DMA pipeline depth (buffer slots; prefetch distance = NBUF - 1).
-# The 2-slot/depth-1 pipeline left the loop DMA-LATENCY bound: per-chunk
-# HBM->VMEM latency (~0.7 us) exceeds per-chunk compute, so K=128 (2x
-# chunks, half work) measured WORSE and removing VPU work measured flat.
-# Deeper prefetch hides the latency behind N-1 chunks of compute.
-NBUF = int(os.environ.get("OPENSPLAT_TPU_RASTER_NBUF", 4))
+# Measured on v5e: depth DOESN'T matter (131k@512: 51.8 steps/s at 2 vs
+# 51.3 at 4; 1M@1080 within noise) — the double buffer already hides the
+# chunk DMA latency, and extra slots only add semaphore/drain overhead.
+# Default stays 2; the knob remains for A/B on other chips.
+NBUF = int(os.environ.get("OPENSPLAT_TPU_RASTER_NBUF", 2))
 if NBUF < 2:
     raise ValueError(f"OPENSPLAT_TPU_RASTER_NBUF must be >= 2, got {NBUF}")
 PIX = BLOCK_X * BLOCK_Y  # 256 pixels per tile (sublane dim)
@@ -167,7 +167,11 @@ def _cum_matrices():
 # arithmetic guarantees sigma >= 0 (PSD conic), so the matmul result is
 # clamped at 0 instead of re-testing the sign (the reference's
 # sigma < 0 skip, forward.cu:341, is the same defensive clamp).
-_SIGMA_MXU = os.environ.get("OPENSPLAT_TPU_SIGMA", "mxu") == "mxu"
+# MEASURED NEUTRAL-TO-SLIGHTLY-WORSE on v5e (131k@512: 50.3 vs 51.3
+# steps/s; 1M@1080 within noise) — the narrow-contraction matmul costs
+# about what the VPU chain it replaces does. Default stays vpu; the
+# knob remains for A/B on chips with different MXU/VPU ratios.
+_SIGMA_MXU = os.environ.get("OPENSPLAT_TPU_SIGMA", "vpu") == "mxu"
 
 
 def _pixel_quad(tb_x):
