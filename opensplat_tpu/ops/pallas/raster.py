@@ -173,6 +173,18 @@ def _cum_matrices():
 # knob remains for A/B on chips with different MXU/VPU ratios.
 _SIGMA_MXU = os.environ.get("OPENSPLAT_TPU_SIGMA", "vpu") == "mxu"
 
+# backward gradient-reduction strategy: "moments" computes the nine
+# per-pixel gradient sums as MOMENTS of v_sigma / fac against fixed
+# pixel features — ONE (16, PIX) x (PIX, 2K) full-contraction matmul per
+# chunk plus (1, K)-row combines in tile-local coordinates — replacing
+# the (PIX, 9K) quants concatenate + sublane fold + bf16 hi/lo split +
+# ones-matmul (~35 (PIX,K)-sized VPU ops per chunk of products, copies
+# and casts). The moment combine is plain f32 (MORE accurate than the
+# bf16 two-pass it replaces: worst-case relative error ~xr * 5e-9 from
+# the tile-local recombination vs ~2^-17 from bf16 splitting).
+# "ones" keeps the previous scheme for A/B.
+_BWD_MOMENTS = os.environ.get("OPENSPLAT_TPU_BWD", "moments") == "moments"
+
 
 def _pixel_quad(tb_x):
     """(PIX, 8) per-tile-constant pixel quadratic features
@@ -436,13 +448,15 @@ def _bwd_kernel(
     # true compact demand for regrow feedback).
     comp0 = comp_ref[t]
     px, py = _pixel_coords(t, tb_x)
+    # tile center for the tile-local coordinates the moment/matmul paths
+    # use (magnitudes stay at exponent scale — see _SIGMA_MXU)
+    tcx = ((t % tb_x) * BLOCK_X + 0.5 * (BLOCK_X - 1)).astype(jnp.float32)
+    tcy = ((t // tb_x) * BLOCK_Y + 0.5 * (BLOCK_Y - 1)).astype(jnp.float32)
     if _SIGMA_MXU:
         # sigma must be BIT-IDENTICAL to the forward's (the fidx replay
         # depends on which pairs pass the alpha threshold): same matmul,
-        # same clamp. dx/dy stay explicit — the gradient quants need them.
+        # same clamp.
         P_quad = _pixel_quad(tb_x)
-        tcx = ((t % tb_x) * BLOCK_X + 0.5 * (BLOCK_X - 1)).astype(jnp.float32)
-        tcy = ((t // tb_x) * BLOCK_Y + 0.5 * (BLOCK_Y - 1)).astype(jnp.float32)
     _, M_sfx_incl, M_sfx_excl = _cum_matrices()
 
     cot = cot_ref[0, :, :].T  # (PIX, 8): [v_r, v_g, v_b, v_ft, T_final, bg_dot]
@@ -454,6 +468,30 @@ def _bwd_kernel(
     # -T_final * ra * (v_oa + bg_dot): fold them once per tile
     vob = T_final * (cot[:, 3:4] + cot[:, 5:6])  # (PIX, 1)
     fidx = fidx_ref[0, :, :].reshape(PIX, 1)
+
+    if _BWD_MOMENTS:
+        # (16, PIX) moment features: rows [1, qx, qy, qx^2, qy^2, qx*qy,
+        # 0, 0, v_r, v_g, v_b, 0 x5] with qx, qy the pixel offsets from
+        # the tile center. Built from the UNtransposed cot rows (no
+        # extra transpose). The nine gradient reductions below are exact
+        # linear combinations of dot(W16T, [v_sigma | fac]).
+        lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+        qx_r = (lane_p % BLOCK_X).astype(jnp.float32) - 0.5 * (BLOCK_X - 1)
+        qy_r = (lane_p // BLOCK_X).astype(jnp.float32) - 0.5 * (BLOCK_Y - 1)
+        W16T = jnp.concatenate(
+            [
+                jnp.ones((1, PIX), jnp.float32),
+                qx_r,
+                qy_r,
+                qx_r * qx_r,
+                qy_r * qy_r,
+                qx_r * qy_r,
+                jnp.zeros((2, PIX), jnp.float32),
+                cot_ref[0, 0:3, :],  # v_r, v_g, v_b rows
+                jnp.zeros((5, PIX), jnp.float32),
+            ],
+            axis=0,
+        )
 
     # early skip, the analogue of the CUDA warp_bin_final trick
     # (backward.cu:196-253): records at global index >= fidx never
@@ -510,8 +548,6 @@ def _bwd_kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
         row_gk = base + lane
         row_valid = (row_gk >= start) & (row_gk < end)
-        dx = x - px
-        dy = y - py
         if _SIGMA_MXU:
             F = _record_quad(x, y, A, B, C, tcx, tcy)
             sigma = jnp.maximum(
@@ -519,6 +555,8 @@ def _bwd_kernel(
             )
             sig_ok = row_valid
         else:
+            dx = x - px
+            dy = y - py
             sigma = 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy
             sig_ok = row_valid & (sigma >= 0.0)
         vis_u = _exp(-sigma)
@@ -548,45 +586,76 @@ def _bwd_kernel(
         v_alpha = jnp.where(comp, v_alpha, 0.0)
         v_sigma = -op * vis_u * v_alpha  # (PIX, K)
 
-        # all nine pixel reductions in ONE ones-vector matmul on the MXU
-        # ((1, PIX) x (PIX, 9K)) instead of nine VPU sublane reductions
-        quants = jnp.concatenate(
-            [
-                v_sigma * (A * dx + B * dy),
-                v_sigma * (B * dx + C * dy),
-                0.5 * v_sigma * dx * dx,
-                0.5 * v_sigma * dx * dy,
-                0.5 * v_sigma * dy * dy,
-                vis_u * v_alpha,
-                fac * v_r,
-                fac * v_g,
-                fac * v_b,
-            ],
-            axis=1,
-        )  # (PIX, 9K)
-        # pixel reduction at near-f32 accuracy in TWO bf16 passes instead
-        # of HIGHEST's six: fold the sublanes once (one f32 add — a
-        # reduction reordering), then split the folded operand into
-        # bf16 hi + bf16 residual and sum each with a DEFAULT-precision
-        # ones matmul (f32 accumulation). hi+lo represents each term to
-        # ~2^-17 relative — under heavy cancellation across the 128-term
-        # sums this can exceed pure-f32 reordering noise (~2^-23), but
-        # stays far below the bf16 packing of the gradient records and
-        # training noise; pinned by the backward conformance tests'
-        # tolerance vs the HIGHEST-precision oracle path.
-        half = PIX // 2
-        q128 = quants[0:half, :] + quants[half:PIX, :]  # (128, 9K)
-        q_hi = q128.astype(jnp.bfloat16)
-        q_lo = (q128 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        ones = jnp.ones((1, half), jnp.bfloat16)
-        sums = jnp.dot(
-            ones, q_hi, preferred_element_type=jnp.float32
-        ) + jnp.dot(
-            ones, q_lo, preferred_element_type=jnp.float32
-        )  # (1, 9K)
-        g_x, g_y, g_A, g_B, g_C, g_op, g_r, g_g, g_b = (
-            sums[:, k * K:(k + 1) * K] for k in range(9)
-        )
+        if _BWD_MOMENTS:
+            # nine pixel reductions as MOMENTS (see _BWD_MOMENTS): one
+            # full-contraction matmul, then tile-local (1, K) combines.
+            # Sign conventions from the quants they replace:
+            #   g_x  = sum_p v_sigma (A dx + B dy),  dx = xr - qx
+            #   g_A  = 0.5 sum_p v_sigma dx^2, ... (conic grads)
+            #   g_op = sum_p vis_u v_alpha = -m0 / op
+            #   g_c  = sum_p fac v_c (colors)
+            M16 = jnp.dot(
+                W16T, jnp.concatenate([v_sigma, fac], axis=1),
+                preferred_element_type=jnp.float32,
+            )  # (16, 2K)
+            m0 = M16[0:1, :K]
+            m_x = M16[1:2, :K]
+            m_y = M16[2:3, :K]
+            m_x2 = M16[3:4, :K]
+            m_y2 = M16[4:5, :K]
+            m_xy = M16[5:6, :K]
+            g_r = M16[8:9, K:]
+            g_g = M16[9:10, K:]
+            g_b = M16[10:11, K:]
+            xr = x - tcx  # (1, K); dx = xr - qx per pixel
+            yr = y - tcy
+            sx = xr * m0 - m_x  # sum_p v_sigma dx
+            sy = yr * m0 - m_y
+            g_x = A * sx + B * sy
+            g_y = B * sx + C * sy
+            g_A = 0.5 * (xr * xr * m0 - 2.0 * xr * m_x + m_x2)
+            g_B = 0.5 * (xr * yr * m0 - xr * m_y - yr * m_x + m_xy)
+            g_C = 0.5 * (yr * yr * m0 - 2.0 * yr * m_y + m_y2)
+            # padding lanes have op == 0 and v_sigma == 0 -> 0, not NaN
+            g_op = -m0 / jnp.maximum(op, 1e-12)
+        else:
+            # previous scheme: all nine reductions in ONE ones-vector
+            # matmul ((1, PIX) x (PIX, 9K)) over an explicit quants block
+            if _SIGMA_MXU:
+                dx = x - px
+                dy = y - py
+            quants = jnp.concatenate(
+                [
+                    v_sigma * (A * dx + B * dy),
+                    v_sigma * (B * dx + C * dy),
+                    0.5 * v_sigma * dx * dx,
+                    0.5 * v_sigma * dx * dy,
+                    0.5 * v_sigma * dy * dy,
+                    vis_u * v_alpha,
+                    fac * v_r,
+                    fac * v_g,
+                    fac * v_b,
+                ],
+                axis=1,
+            )  # (PIX, 9K)
+            # pixel reduction at near-f32 accuracy in TWO bf16 passes:
+            # fold the sublanes once (one f32 add — a reduction
+            # reordering), then split into bf16 hi + bf16 residual and
+            # sum each with a DEFAULT-precision ones matmul (f32
+            # accumulation, ~2^-17 relative per term).
+            half = PIX // 2
+            q128 = quants[0:half, :] + quants[half:PIX, :]  # (128, 9K)
+            q_hi = q128.astype(jnp.bfloat16)
+            q_lo = (q128 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            ones = jnp.ones((1, half), jnp.bfloat16)
+            sums = jnp.dot(
+                ones, q_hi, preferred_element_type=jnp.float32
+            ) + jnp.dot(
+                ones, q_lo, preferred_element_type=jnp.float32
+            )  # (1, 9K)
+            g_x, g_y, g_A, g_B, g_C, g_op, g_r, g_g, g_b = (
+                sums[:, k * K:(k + 1) * K] for k in range(9)
+            )
         # chunks whose compact target falls past the budget redirect to
         # the trash chunk with zeroed gradients (real gids + zero grads
         # contribute nothing to the segment sums). Masking happens on the
