@@ -53,7 +53,10 @@ from ..projection import BLOCK_X, BLOCK_Y
 # less compute, more grid steps + boundary-chunk RMWs)
 import os as _os
 
-G_BLOCK = int(_os.environ.get("OPENSPLAT_TPU_EXPAND_GBLOCK", 512))
+# 256 measured best on v5e this round (1M@1080: 8.28 vs 8.16 steps/s at
+# 512, 7.84 at 1024 — the (G, R) membership-compare build dominates the
+# kernel, so smaller G wins until boundary-chunk overhead bites)
+G_BLOCK = int(_os.environ.get("OPENSPLAT_TPU_EXPAND_GBLOCK", 256))
 R_CHUNK = int(_os.environ.get("OPENSPLAT_TPU_EXPAND_RCHUNK", 1024))
 # sublane count of the aliased io stream: 4 = 3 live planes + 1 pad —
 # half the chunk DMA traffic of the conservative 8-plane layout

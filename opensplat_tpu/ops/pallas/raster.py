@@ -327,21 +327,15 @@ def _fwd_kernel(start_ref, end_ref, recs_hbm, acc_ref, fidx_ref,
         stop_at = jnp.min(jnp.where(stop, gk, _BIG), axis=1, keepdims=True)
         fidx = jnp.minimum(fidx, stop_at)  # (PIX, 1)
 
-        # a pixel's fidx can differ from `used` only when its crossing
-        # happened in THIS chunk (earlier crossings imply done=True and
-        # used=False), so when no pixel stopped here the masked replay
-        # equals the unmasked one — skip the second prefix matmul
-        def _with_stop():
-            comp = used & (gk < fidx)
-            a_eff = jnp.where(comp, a, 0.0)
-            la_eff = _log1p(-a_eff)
-            excl_eff = _dot_tri(la_eff, M_excl)
-            return a_eff, la_eff, excl_eff
-
-        a_eff, la_eff, excl_eff = jax.lax.cond(
-            jnp.any(stop), _with_stop, lambda: (a, la, excl)
-        )
-        vis = a_eff * T_carry * _exp(excl_eff)  # (PIX, K)
+        # masking lanes at gk >= fidx needs NO second prefix matmul: a
+        # composited lane k < fidx only sums la over j < k < fidx — all
+        # unmasked — so excl_eff == excl there EXACTLY, and masked lanes
+        # are zeroed by a_eff anyway. (The earlier lax.cond second-pass
+        # recompute was algebraically redundant.)
+        comp_m = used & (gk < fidx)
+        a_eff = jnp.where(comp_m, a, 0.0)
+        la_eff = jnp.where(comp_m, la, 0.0)
+        vis = a_eff * T_carry * _exp(excl)  # (PIX, K)
         rgb = rgb + jnp.dot(vis, col.T, preferred_element_type=jnp.float32)
         T_carry = T_carry * _exp(jnp.sum(la_eff, axis=1, keepdims=True))
         done_new = done | jnp.any(stop, axis=1, keepdims=True)
