@@ -350,15 +350,35 @@ def main(argv=None) -> int:
             # (auto-refresh page) and a stdlib HTTP server makes it
             # reachable from a browser — the headless counterpart of the
             # reference's Pangolin window (visualizer.cpp:1-179)
-            import functools
             import http.server
             import threading
 
-            handler = functools.partial(
-                http.server.SimpleHTTPRequestHandler,
-                directory=args.report_dir,
-            )
-            httpd = http.server.ThreadingHTTPServer(("", args.serve), handler)
+            class _Handler(http.server.SimpleHTTPRequestHandler):
+                def __init__(self, *a, **kw):
+                    super().__init__(*a, directory=args.report_dir, **kw)
+
+                def do_POST(self):
+                    # pause/resume/stop buttons (report.py _CONTROLS):
+                    # persist the command to control.txt; the train loop
+                    # polls it at display cadence
+                    if self.path != "/__control__":
+                        self.send_error(404)
+                        return
+                    n = int(self.headers.get("Content-Length", 0))
+                    cmd = self.rfile.read(n).decode()[:16].strip()
+                    if cmd in ("pause", "resume", "stop"):
+                        with open(os.path.join(args.report_dir,
+                                               "control.txt"), "w") as f:
+                            f.write(cmd)
+                        self.send_response(200)
+                        self.end_headers()
+                    else:
+                        self.send_error(400)
+
+                def log_message(self, *a):
+                    pass
+
+            httpd = http.server.ThreadingHTTPServer(("", args.serve), _Handler)
             threading.Thread(target=httpd.serve_forever, daemon=True).start()
             print(f"Live training view: http://localhost:{args.serve}/report.html")
 
@@ -371,6 +391,17 @@ def main(argv=None) -> int:
             translation=input_data.translation,
         )
         print(f"Wrote {stem}_{step}{ext}")
+
+    def _control_cmd():
+        # pause/quit channel (visualizer.cpp:184-195 semantics, headless:
+        # a control file — written by the --serve buttons or by hand)
+        if not args.report_dir:
+            return None
+        try:
+            with open(os.path.join(args.report_dir, "control.txt")) as f:
+                return f.read().strip()
+        except OSError:
+            return None
 
     profiling = None
     for step in range(start_step, cfg.num_iters + 1):
@@ -408,8 +439,32 @@ def main(argv=None) -> int:
                     rgb = np.asarray(trainer.render(val_cam, step))
                     gt = val_cam.get_image(get_downscale_factor(step, cfg))
                     report.snapshot(step, rgb, np.asarray(gt))
+                if step % snap_every < display_step or step == cfg.num_iters:
+                    # live 3D point-cloud view (means colored by SH0)
+                    from .ops.sh import sh_to_rgb
+
+                    alive_np = np.asarray(trainer.state.alive)
+                    report.point_cloud(
+                        step,
+                        np.asarray(trainer.state.params.means)[alive_np],
+                        np.clip(np.asarray(
+                            sh_to_rgb(trainer.state.params.features_dc)
+                        ), 0, 1)[alive_np],
+                    )
                 if args.serve or step % (display_step * 10) == 0:
                     report.write(live=True)
+            cmd = _control_cmd()
+            if cmd == "pause":
+                import time as _time
+
+                print("Paused (control.txt) — write 'resume' to continue")
+                while _control_cmd() == "pause":
+                    _time.sleep(0.5)
+                cmd = _control_cmd()
+                print("Resumed")
+            if cmd == "stop":
+                print(f"Stop requested at step {step} — saving and exiting")
+                break
         if cfg.save_every > 0 and step % cfg.save_every == 0:
             save_intermediate(step)
         if cfg.checkpoint_every > 0 and step % cfg.checkpoint_every == 0:

@@ -84,6 +84,98 @@ class TrainingReport:
              "gt": _png_b64(gt) if gt is not None else None}
         )
 
+    def point_cloud(self, step: int, means: np.ndarray, colors: np.ndarray,
+                    max_points: int = 20000):
+        """Live Gaussian point cloud (means colored by SH0 RGB) — the
+        3D scene view of the reference's Pangolin visualizer
+        (visualizer.cpp:1-179), rendered client-side by a tiny inline
+        canvas orbiter (drag to rotate, wheel to zoom; no external JS —
+        the page stays self-contained/offline)."""
+        means = np.asarray(means, np.float32)
+        colors = np.asarray(colors, np.float32)
+        n = means.shape[0]
+        if n > max_points:
+            idx = np.random.default_rng(0).choice(n, max_points, replace=False)
+            means, colors = means[idx], colors[idx]
+        center = means.mean(axis=0)
+        scale = float(np.abs(means - center).max() + 1e-9)
+        q = np.clip((means - center) / scale, -1, 1)
+        pts16 = (q * 32767).astype(np.int16)
+        col8 = np.clip(colors * 255, 0, 255).astype(np.uint8)
+        self._cloud = {
+            "step": step,
+            "n": int(means.shape[0]),
+            "pts": base64.b64encode(pts16.tobytes()).decode(),
+            "col": base64.b64encode(col8.tobytes()).decode(),
+        }
+
+    _cloud: Optional[dict] = None
+
+    def _cloud_html(self) -> str:
+        c = self._cloud
+        if not c:
+            return ""
+        return f"""
+<h3>Gaussian point cloud (step {c['step']}, {c['n']} shown) —
+drag to orbit, wheel to zoom</h3>
+<canvas id="pc" width="640" height="480"
+ style="background:#0b1020;border:1px solid #e2e8f0"></canvas>
+<script>
+(function() {{
+  const b64 = s => Uint8Array.from(atob(s), ch => ch.charCodeAt(0));
+  const pts = new Int16Array(b64("{c['pts']}").buffer);
+  const col = b64("{c['col']}");
+  const n = pts.length / 3;
+  const cv = document.getElementById("pc"), ctx = cv.getContext("2d");
+  let rx = -0.4, ry = 0.6, zoom = 1.4, drag = null;
+  function draw() {{
+    ctx.fillStyle = "#0b1020"; ctx.fillRect(0, 0, cv.width, cv.height);
+    const img = ctx.getImageData(0, 0, cv.width, cv.height), d = img.data;
+    const cx = Math.cos(rx), sx = Math.sin(rx),
+          cy = Math.cos(ry), sy = Math.sin(ry);
+    const w = cv.width, h = cv.height, f = 0.45 * Math.min(w, h) * zoom;
+    for (let i = 0; i < n; i++) {{
+      const x0 = pts[3*i] / 32767, y0 = pts[3*i+1] / 32767,
+            z0 = pts[3*i+2] / 32767;
+      const x1 = cy * x0 + sy * z0, z1 = -sy * x0 + cy * z0;
+      const y2 = cx * y0 - sx * z1, z2 = sx * y0 + cx * z1;
+      const zc = z2 + 3.0;
+      if (zc < 0.2) continue;
+      const px = (w / 2 + f * x1 / zc) | 0, py = (h / 2 - f * y2 / zc) | 0;
+      if (px < 0 || py < 0 || px >= w || py >= h) continue;
+      const o = 4 * (py * w + px);
+      d[o] = col[3*i]; d[o+1] = col[3*i+1]; d[o+2] = col[3*i+2]; d[o+3] = 255;
+    }}
+    ctx.putImageData(img, 0, 0);
+  }}
+  cv.onmousedown = e => drag = [e.clientX, e.clientY];
+  window.onmouseup = () => drag = null;
+  window.onmousemove = e => {{
+    if (!drag) return;
+    ry += (e.clientX - drag[0]) * 0.01; rx += (e.clientY - drag[1]) * 0.01;
+    drag = [e.clientX, e.clientY]; draw();
+  }};
+  cv.onwheel = e => {{ e.preventDefault();
+    zoom *= e.deltaY < 0 ? 1.1 : 0.9; draw(); }};
+  draw();
+}})();
+</script>"""
+
+    _CONTROLS = """
+<p>
+<button onclick="ctl('pause')">Pause</button>
+<button onclick="ctl('resume')">Resume</button>
+<button onclick="ctl('stop')">Stop + save</button>
+<span id="ctlmsg"></span>
+</p>
+<script>
+function ctl(cmd) {
+  fetch('/__control__', {method: 'POST', body: cmd}).then(r =>
+    document.getElementById('ctlmsg').textContent =
+      r.ok ? ' -> ' + cmd : ' control channel unavailable');
+}
+</script>"""
+
     def write(self, filename: str = "report.html", live: bool = False) -> str:
         """live=True adds an auto-refresh tag: rewritten every few dozen
         steps by the CLI (and optionally served via --serve), the page
@@ -98,6 +190,13 @@ class TrainingReport:
                 " <p><i>live — refreshes every 5 s</i></p>" if live else ""
             ),
         ]
+        if live:
+            # pause/stop control channel (visualizer.cpp:184-195's pause/
+            # quit hooks): buttons POST to the CLI's --serve handler,
+            # which writes <report_dir>/control.txt; the train loop polls
+            # it (works file-only too: `echo stop > control.txt`)
+            parts.append(self._CONTROLS)
+        parts.append(self._cloud_html())
         if self.steps:
             parts.append(
                 f"<p>{self.steps[-1]} steps · final loss "

@@ -42,3 +42,31 @@ def test_live_report_refreshes(tmp_path):
     assert "live" in content
     static = open(rep.write()).read()
     assert "http-equiv='refresh'" not in static
+
+
+def test_point_cloud_and_controls(tmp_path):
+    """Live view upgrade (visualizer.cpp:1-179 parity): the 3D point
+    cloud embeds as an inline canvas orbiter, and live pages carry the
+    pause/stop control buttons wired to the --serve POST channel."""
+    import numpy as np
+
+    from opensplat_tpu.utils.report import TrainingReport
+
+    rep = TrainingReport(str(tmp_path))
+    rep.log(1, 0.5, 20.0, 100)
+    rep.log(2, 0.4, 21.0, 100)
+    rng = np.random.default_rng(0)
+    rep.point_cloud(2, rng.normal(size=(500, 3)), rng.uniform(0, 1, (500, 3)))
+    live = open(rep.write(live=True)).read()
+    assert 'canvas id="pc"' in live
+    assert "point cloud (step 2, 500 shown)" in live
+    assert "__control__" in live and "Pause" in live and "Stop" in live
+    # static report: cloud yes, control buttons no
+    static = open(rep.write()).read()
+    assert 'canvas id="pc"' in static
+    assert "__control__" not in static
+
+    # downsampling cap
+    rep.point_cloud(3, rng.normal(size=(50000, 3)),
+                    rng.uniform(0, 1, (50000, 3)), max_points=1000)
+    assert rep._cloud["n"] == 1000
