@@ -56,7 +56,9 @@ def test_gs_render_matches_replicated(renderer):
         v_budget=state.alive.shape[0] // M, renderer=renderer,
     )
     assert int(n_vis) <= state.alive.shape[0] // M
-    assert demand.shape == (2,)
+    # (n_cands, n_isects, n_grads) budget feedback (grad demand joined
+    # the vector with the r4 compact gradient layout)
+    assert demand.shape == (3,)
     np.testing.assert_allclose(
         np.asarray(rgb), np.asarray(ref.rgb), rtol=1e-5, atol=1e-5
     )
@@ -176,7 +178,9 @@ def test_dpgs_hybrid_matches_dp_replicated(renderer):
     np.testing.assert_allclose(
         float(hy_m["loss"]), float(ref_m["loss"]), rtol=1e-5
     )
-    assert int(np.asarray(hy_m["demand"])[2]) > 0  # V feedback flows
+    # V feedback flows (demand = [n_cands, n_isects, n_grads, n_vis]
+    # since the r4 compact-gradient layout added n_grads at index 2)
+    assert int(np.asarray(hy_m["demand"])[3]) > 0
     for name in ("means", "scales", "quats", "features_dc",
                  "features_rest", "opacities"):
         np.testing.assert_allclose(
