@@ -658,8 +658,15 @@ def _bwd_kernel(
         keep_f = jnp.where(
             comp0 + i * K >= jnp.int32(grad_n), 0.0, 1.0
         )
+        # sanitize: a single nonfinite record (degenerate splats — e.g.
+        # scale ratios ~1e5 after thousands of steps — can overflow the
+        # f32 gradient chain) would poison its ENTIRE segment-sum block
+        # downstream (NaN x 0 = NaN through the one-hot matmul) and from
+        # there 512 Gaussians' parameters. Zero it at the source: the
+        # droplet of lost gradient is confined to the bad splat itself.
         g_x, g_y, g_A, g_B, g_C, g_op, g_r, g_g, g_b = (
-            v * keep_f for v in (g_x, g_y, g_A, g_B, g_C, g_op, g_r, g_g, g_b)
+            jnp.where(jnp.isfinite(v), v, 0.0) * keep_f
+            for v in (g_x, g_y, g_A, g_B, g_C, g_op, g_r, g_g, g_b)
         )
         grec = jnp.concatenate(
             [

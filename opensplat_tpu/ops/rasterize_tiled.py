@@ -288,7 +288,13 @@ def _bwd_chunk(carry, chunk, *, xys, conics, colors, opac, v_out_t, v_oa_t,
     buffer_state = buffer_state.at[t_first].set(
         buffer_state[t] + seg_total_contrib, mode="drop"
     )
-    return (T_run_state, buffer_state), (v_xy_i, v_con_i, v_col_i, v_op_i)
+    # sanitize per-isect gradients (degenerate splats can overflow the
+    # f32 chain; a nonfinite row would poison its Gaussian's parameters
+    # through Adam) — same guard as the pallas kernel's record emission
+    fin = lambda v: jnp.where(jnp.isfinite(v), v, 0.0)
+    return (T_run_state, buffer_state), (
+        fin(v_xy_i), fin(v_con_i), fin(v_col_i), fin(v_op_i)
+    )
 
 
 def _rasterize_binned_bwd(height, width, chunk_size, res, cotangents):

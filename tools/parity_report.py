@@ -40,6 +40,10 @@ def main(argv=None) -> int:
                     help="Skip the saved-scene oracle cross-check")
     ap.add_argument("--cpu", action="store_true",
                     help="Force CPU execution (opensplat.cpp:28 parity)")
+    ap.add_argument("--eval-scene", default=None, metavar="PLY",
+                    help="Skip training: evaluate an EXISTING scene .ply "
+                    "against the project (val-camera PSNR + oracle "
+                    "cross-check) — for scenes trained by the CLI")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -77,10 +81,18 @@ def main(argv=None) -> int:
                     data.cameras))
     cams, val_cam = data.get_cameras(True, "random")
 
-    state = init_model(
-        data.points_xyz, data.points_rgb, sh_degree=cfg.sh_degree,
-        seed=cfg.seed,
-    )
+    if args.eval_scene:
+        state, loaded_step = load_ply(
+            args.eval_scene, keep_crs=False, scale=data.scale,
+            translation=data.translation,
+        )
+        if loaded_step:
+            args.num_iters = int(loaded_step)
+    else:
+        state = init_model(
+            data.points_xyz, data.points_rgb, sh_degree=cfg.sh_degree,
+            seed=cfg.seed,
+        )
     renderer = pick_renderer(args.renderer)
     trainer = Trainer(state, cams, cfg, renderer=renderer)
 
@@ -92,31 +104,47 @@ def main(argv=None) -> int:
         return psnr(rgb, gt)
 
     rows = []  # (step, val PSNR, steps/s, n_gaussians)
-    t_window = time.perf_counter()
-    steps_in_window = 0
-    for step in range(1, args.num_iters + 1):
-        out = trainer.run_step(step)
-        steps_in_window += 1
-        if step % val_every == 0 or step == args.num_iters:
-            loss = out.loss  # device sync closes the async window
-            dt = time.perf_counter() - t_window
-            sps = steps_in_window / dt if dt > 0 else 0.0
-            rows.append(
-                dict(step=step, val_psnr=round(val_psnr(step), 3),
-                     steps_per_sec=round(sps, 3), loss=round(loss, 6),
-                     n_gaussians=out.n_alive)
-            )
-            print(
-                f"step {step}: val PSNR {rows[-1]['val_psnr']:.2f} dB, "
-                f"{sps:.2f} steps/s, {out.n_alive} gaussians"
-            )
-            t_window = time.perf_counter()
-            steps_in_window = 0
+    if args.eval_scene:
+        import jax.numpy as jnp
 
-    scene_path = args.out + "_scene.ply"
-    save_scene(trainer.state.params, trainer.state.alive, scene_path,
-               args.num_iters, keep_crs=False, scale=data.scale,
-               translation=data.translation)
+        rows.append(
+            dict(step=args.num_iters,
+                 val_psnr=round(val_psnr(args.num_iters), 3),
+                 steps_per_sec=0.0, loss=0.0,
+                 n_gaussians=int(jnp.sum(trainer.state.alive)))
+        )
+        print(
+            f"eval {args.eval_scene}: val PSNR "
+            f"{rows[-1]['val_psnr']:.2f} dB, "
+            f"{rows[-1]['n_gaussians']} gaussians"
+        )
+        scene_path = args.eval_scene
+    else:
+        t_window = time.perf_counter()
+        steps_in_window = 0
+        for step in range(1, args.num_iters + 1):
+            out = trainer.run_step(step)
+            steps_in_window += 1
+            if step % val_every == 0 or step == args.num_iters:
+                loss = out.loss  # device sync closes the async window
+                dt = time.perf_counter() - t_window
+                sps = steps_in_window / dt if dt > 0 else 0.0
+                rows.append(
+                    dict(step=step, val_psnr=round(val_psnr(step), 3),
+                         steps_per_sec=round(sps, 3), loss=round(loss, 6),
+                         n_gaussians=out.n_alive)
+                )
+                print(
+                    f"step {step}: val PSNR {rows[-1]['val_psnr']:.2f} dB, "
+                    f"{sps:.2f} steps/s, {out.n_alive} gaussians"
+                )
+                t_window = time.perf_counter()
+                steps_in_window = 0
+
+        scene_path = args.out + "_scene.ply"
+        save_scene(trainer.state.params, trainer.state.alive, scene_path,
+                   args.num_iters, keep_crs=False, scale=data.scale,
+                   translation=data.translation)
 
     oracle = None
     if not args.no_oracle:
